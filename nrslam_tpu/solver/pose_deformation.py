@@ -1,0 +1,301 @@
+"""Joint camera-pose + deformation optimization (the tracking backbone).
+
+JAX-native equivalent of CameraPoseAndDeformationOptimization
+(/root/reference/modules/optimization/g2o_optimization.cc:148-557):
+
+Variables: one SE(3) twist + a per-point 3D deformation ("flow") delta.
+Factors per TRACKED_WITH_3D point i (fixed capacity, masked):
+- reprojection of ``rest_i + flow_i`` (info 1/0.5^2, Huber d2=5.99)
+- <= 10 spatial dampers ``w_ij (flow_i - flow_j)`` against graph neighbors
+  (info 1/(0.1*scale)^2, Huber d2=0.584)
+- paired position springs ``1.1 (||(rest_i+f_i)-(rest_j+f_j)|| - d0)/d0``
+  (info 1/0.1^2, Huber d2=0.584)
+
+Schedule (g2o_optimization.cc:338-394): 2 rounds x 10 LM iterations; at each
+round start the pose resets to the seed and flows reset to zero; between
+rounds edges re-level by their chi2 (reprojection > 5.99, spatial > 0.584;
+springs always stay active).
+
+The normal equations couple all points through the pair edges, so instead of
+g2o's sparse Cholesky we run Jacobi-block-preconditioned CG with
+Hessian-vector products assembled from the edge lists (einsum + segment_sum
+— dense batched math that maps onto the TPU's VPU/MXU).
+
+Post-processing (:396-474) is done here too: IQR gating of deformation
+magnitudes, demotion of reprojection outliers, and the phase-2 "drag"
+solve for lost landmarks (:476-556) which reduces to independent per-point
+robust means of neighbor flows (see ``lost_point_drag``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nrslam_tpu.geometry import cameras, se3
+from nrslam_tpu.solver import core, residuals
+from nrslam_tpu.utils import stats
+
+TH_2DOF = 5.99
+TH_3DOF = 0.584
+SIGMA_REPROJECTION = 0.5
+SIGMA_POSITION = 0.1
+SPRING_K = 1.1
+
+
+class PairEdges(NamedTuple):
+    """Flattened undirected pair-edge table (spatial + position factors)."""
+
+    i: jnp.ndarray      # [E] int32
+    j: jnp.ndarray      # [E] int32
+    w: jnp.ndarray      # [E] RBF weight (spatial damper gain)
+    d0: jnp.ndarray     # [E] rest distance (spring measurement)
+    valid: jnp.ndarray  # [E] bool
+
+
+def pairs_from_neighbors(nbr_idx: jnp.ndarray, nbr_w: jnp.ndarray,
+                         nbr_d0: jnp.ndarray, nbr_valid: jnp.ndarray) -> PairEdges:
+    """Build deduplicated pair edges from a per-point top-K neighbor table.
+
+    The reference deduplicates shared regularizers via hash sets
+    (g2o_optimization.cc:296-300); here each unordered pair is kept exactly
+    once: directed pair (i, j) survives iff ``i < j`` or the reverse direction
+    is not itself a valid neighbor entry.
+    """
+    P, K = nbr_idx.shape
+    src = jnp.repeat(jnp.arange(P, dtype=jnp.int32), K)
+    dst = nbr_idx.reshape(-1)
+    w = nbr_w.reshape(-1)
+    d0 = nbr_d0.reshape(-1)
+    valid = nbr_valid.reshape(-1)
+
+    # mutual[e] = (src[e] appears in nbr list of dst[e])
+    rev = nbr_idx[dst]                       # [E, K]
+    rev_valid = nbr_valid[dst]               # [E, K]
+    mutual = jnp.any((rev == src[:, None]) & rev_valid, axis=-1)
+    keep = valid & ((src < dst) | ~mutual)
+    return PairEdges(src, dst, w, d0, keep)
+
+
+def _edge_residuals(cam, Tcw, rest, obs, flows, pairs: PairEdges,
+                    info_r, info_s, info_p):
+    """All residuals + per-edge chi2 at the current state."""
+    e_r, J_pose, J_flow = residuals.reprojection(cam, Tcw, rest + flows, obs)
+    chi2_r = info_r * jnp.sum(e_r * e_r, axis=-1)
+
+    fi = flows[pairs.i]
+    fj = flows[pairs.j]
+    e_s = pairs.w[:, None] * (fi - fj)
+    chi2_s = info_s * jnp.sum(e_s * e_s, axis=-1)
+
+    xi = rest[pairs.i] + fi
+    xj = rest[pairs.j] + fj
+    diff = xi - xj
+    dist = jnp.linalg.norm(diff, axis=-1)
+    safe_d0 = jnp.maximum(pairs.d0, 1e-12)
+    e_p = SPRING_K * (dist - pairs.d0) / safe_d0
+    chi2_p = info_p * e_p * e_p
+
+    return (e_r, chi2_r), (e_s, chi2_s), (e_p, chi2_p, diff, dist)
+
+
+def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos):
+    """Gradient, chi2 total, Hv operator and block-diagonal preconditioner.
+
+    Parameter vector layout: [twist(6), flows(3P)] flattened.
+    """
+    point_mask, spatial_mask, spring_mask = masks
+    info_r, info_s, info_p = infos
+    P = rest.shape[0]
+
+    (e_r, chi2_r), (e_s, chi2_s), (e_p, chi2_p, diff, dist) = _edge_residuals(
+        cam, Tcw, rest, obs, flows, pairs, info_r, info_s, info_p)
+
+    # IRLS weights (info * huber), masked.
+    w_r = info_r * core.huber_weight(chi2_r, TH_2DOF) * point_mask
+    w_s = info_s * core.huber_weight(chi2_s, TH_3DOF) * spatial_mask
+    w_p = info_p * core.huber_weight(chi2_p, TH_3DOF) * spring_mask
+
+    chi2_total = (jnp.sum(core.huber_rho(chi2_r, TH_2DOF) * point_mask)
+                  + jnp.sum(core.huber_rho(chi2_s, TH_3DOF) * spatial_mask)
+                  + jnp.sum(core.huber_rho(chi2_p, TH_3DOF) * spring_mask))
+
+    # Jacobian blocks.
+    _, J_pose, J_flow = residuals.reprojection(cam, Tcw, rest + flows, obs)
+    ws = pairs.w * pairs.w * w_s                       # [E] spatial gain^2
+    safe_dist = jnp.maximum(dist, 1e-12)
+    a = (SPRING_K / jnp.maximum(pairs.d0, 1e-12))[:, None] * diff / safe_dist[:, None]
+
+    # Gradient g = J^T W e.
+    g_pose = jnp.einsum("pri,p,pr->i", J_pose, w_r, e_r)
+    g_flow = jnp.einsum("prk,p,pr->pk", J_flow, w_r, e_r)
+    gs = (w_s * pairs.w)[:, None] * e_s
+    g_flow = g_flow.at[pairs.i].add(gs).at[pairs.j].add(-gs)
+    gp = (w_p * e_p)[:, None] * a
+    g_flow = g_flow.at[pairs.i].add(gp).at[pairs.j].add(-gp)
+    g = jnp.concatenate([g_pose, g_flow.reshape(-1)])
+
+    # Block-diagonal of H for the preconditioner.
+    H_pose = jnp.einsum("pri,p,prj->ij", J_pose, w_r, J_pose)  # [6,6]
+    D_flow = jnp.einsum("prk,p,prl->pkl", J_flow, w_r, J_flow)  # [P,3,3]
+    eye3 = jnp.eye(3, dtype=flows.dtype)
+    D_flow = D_flow.at[pairs.i].add(ws[:, None, None] * eye3)
+    D_flow = D_flow.at[pairs.j].add(ws[:, None, None] * eye3)
+    aaT = w_p[:, None, None] * a[:, :, None] * a[:, None, :]
+    D_flow = D_flow.at[pairs.i].add(aaT).at[pairs.j].add(aaT)
+
+    def hvp(v, lam):
+        vp = v[:6]
+        vf = v[6:].reshape(P, 3)
+        # Reprojection couples pose and flows.
+        r_lin = jnp.einsum("pri,i->pr", J_pose, vp) + jnp.einsum("prk,pk->pr", J_flow, vf)
+        out_pose = jnp.einsum("pri,p,pr->i", J_pose, w_r, r_lin)
+        out_flow = jnp.einsum("prk,p,pr->pk", J_flow, w_r, r_lin)
+        # Spatial: w^2 (vi - vj) scattered with +-.
+        dv = vf[pairs.i] - vf[pairs.j]
+        sv = ws[:, None] * dv
+        out_flow = out_flow.at[pairs.i].add(sv).at[pairs.j].add(-sv)
+        # Springs: rank-1 a a^T on (vi - vj).
+        pv = (w_p * jnp.einsum("ek,ek->e", a, dv))[:, None] * a
+        out_flow = out_flow.at[pairs.i].add(pv).at[pairs.j].add(-pv)
+        out = jnp.concatenate([out_pose, out_flow.reshape(-1)])
+        return out + lam * v
+
+    diag = jnp.concatenate([jnp.diagonal(H_pose),
+                            jax.vmap(jnp.diagonal)(D_flow).reshape(-1)])
+    return g, chi2_total, hvp, diag, (chi2_r, chi2_s)
+
+
+def _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos, n_iters, cg_iters):
+    P = rest.shape[0]
+    flows0 = jnp.zeros_like(rest)
+    g, chi0, hvp, diag, _ = _system(cam, Tcw0, rest, obs, flows0, pairs, masks, infos)
+    lam0 = core.lm_lambda_init(diag)
+
+    def body(_, state):
+        Tq, Tt, flows, lam, nu, chi2_cur = state
+        T = se3.SE3(Tq, Tt)
+        g, _, hvp, diag, _ = _system(cam, T, rest, obs, flows, pairs, masks, infos)
+        m_inv = 1.0 / jnp.maximum(diag + lam, 1e-12)
+        dx = core.pcg(lambda v: hvp(v, lam), -g, m_inv, cg_iters)
+        T_new = se3.retract(T, dx[:6])
+        flows_new = flows + dx[6:].reshape(P, 3)
+        _, chi2_new, _, _, _ = _system(cam, T_new, rest, obs, flows_new, pairs,
+                                       masks, infos)
+        denom = jnp.dot(dx, lam * dx - g)
+        rho = (chi2_cur - chi2_new) / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+        lam, nu, accepted = core.lm_lambda_update(lam, nu, rho)
+        Tq = jnp.where(accepted, T_new.q, T.q)
+        Tt = jnp.where(accepted, T_new.t, T.t)
+        flows = jnp.where(accepted, flows_new, flows)
+        chi2_cur = jnp.where(accepted, chi2_new, chi2_cur)
+        return Tq, Tt, flows, lam, nu, chi2_cur
+
+    Tq, Tt, flows, *_ = jax.lax.fori_loop(
+        0, n_iters, body,
+        (Tcw0.q, Tcw0.t, flows0, lam0, jnp.float32(2.0), chi0))
+    return se3.SE3(Tq, Tt), flows
+
+
+class PoseDeformationResult(NamedTuple):
+    Tcw: se3.SE3
+    flows: jnp.ndarray            # [P, 3] optimized deformation deltas
+    reproj_inlier: jnp.ndarray    # [P] bool (chi2 <= 5.99 at optimum)
+    deform_ok: jnp.ndarray        # [P] bool (|flow| below IQR gate)
+    median_deformation: jnp.ndarray  # scalar median |flow|
+
+
+def pose_deformation_optimization(
+        cam: cameras.Camera, Tcw0: se3.SE3, rest: jnp.ndarray,
+        obs: jnp.ndarray, point_valid: jnp.ndarray, pairs: PairEdges,
+        scale, rounds=(10, 10), cg_iters: int = 32) -> PoseDeformationResult:
+    """Run the full two-round schedule and post-gating.
+
+    Args:
+      rest: [P, 3] world landmark rest positions (this frame's current map).
+      obs: [P, 2] KLT observations.
+      point_valid: [P] TRACKED_WITH_3D mask.
+      pairs: deduplicated neighbor pair edges.
+      scale: global map scale (spatial sigma is 0.1 * scale).
+    """
+    info_r = 1.0 / SIGMA_REPROJECTION ** 2
+    info_p = 1.0 / SIGMA_POSITION ** 2
+    sigma_s = 0.1 * scale
+    info_s = 1.0 / (sigma_s * sigma_s)
+    infos = (info_r, info_s, info_p)
+
+    pair_base = (pairs.valid & point_valid[pairs.i] & point_valid[pairs.j])
+    point_mask = point_valid.astype(jnp.float32)
+    spatial_mask = pair_base.astype(jnp.float32)
+    spring_mask = pair_base.astype(jnp.float32)
+
+    T, flows = Tcw0, jnp.zeros_like(rest)
+    for n in rounds:
+        masks = (point_mask, spatial_mask, spring_mask)
+        T, flows = _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos,
+                                n, cg_iters)
+        # Re-level by chi2 at the optimum (springs stay active; the
+        # reference's point-level spatial demotion is overwritten by the
+        # per-edge check, g2o_optimization.cc:358-392).
+        _, _, _, _, (chi2_r, chi2_s) = _system(
+            cam, T, rest, obs, flows, pairs,
+            (point_valid.astype(jnp.float32),
+             pair_base.astype(jnp.float32),
+             pair_base.astype(jnp.float32)), infos)
+        point_mask = (point_valid & (chi2_r <= TH_2DOF)).astype(jnp.float32)
+        spatial_mask = (pair_base & (chi2_s <= TH_3DOF)).astype(jnp.float32)
+
+    # Post-processing: reprojection gate + IQR deformation-magnitude gate
+    # (g2o_optimization.cc:396-455).
+    _, _, _, _, (chi2_r, _) = _system(
+        cam, T, rest, obs, flows, pairs,
+        (point_valid.astype(jnp.float32),
+         pair_base.astype(jnp.float32), pair_base.astype(jnp.float32)),
+        infos)
+    reproj_inlier = point_valid & (chi2_r <= TH_2DOF)
+
+    mag = jnp.linalg.norm(flows, axis=-1)
+    iqr_th = stats.iqr_upper_threshold(mag, point_valid)
+    deform_ok = point_valid & (mag < iqr_th)
+    median_def = stats.masked_median(mag, point_valid)
+
+    return PoseDeformationResult(T, flows, reproj_inlier, deform_ok, median_def)
+
+
+def lost_point_drag(flows: jnp.ndarray, lost_nbr_idx: jnp.ndarray,
+                    lost_nbr_w: jnp.ndarray, lost_nbr_valid: jnp.ndarray,
+                    scale, n_irls: int = 10) -> jnp.ndarray:
+    """Phase-2 drag of lost landmarks along their neighbors' flow.
+
+    The reference re-optimizes with the camera and accepted flows fixed and
+    only SpatialRegularizerFixed unary edges on each lost vertex
+    (g2o_optimization.cc:476-556); each lost flow therefore decouples into an
+    independent robust weighted mean of its neighbors' flows
+    ``argmin sum_j huber(|w_j (f - flow_j)|^2 / sigma_s^2)``, solved here by
+    IRLS (vmapped over lost points).
+
+    Args:
+      flows: [P, 3] optimized flows of the tracked points.
+      lost_nbr_idx/w/valid: [L, K] neighbor table for the lost points.
+
+    Returns [L, 3] drag flows (add to last world positions).
+    """
+    sigma_s = 0.1 * scale
+    info_s = 1.0 / (sigma_s * sigma_s)
+    nbr_flows = flows[lost_nbr_idx]                       # [L, K, 3]
+    w = lost_nbr_w * lost_nbr_valid.astype(jnp.float32)   # [L, K]
+
+    def step(f, _):
+        r = f[:, None, :] - nbr_flows                     # [L, K, 3]
+        chi2 = info_s * jnp.sum((w[..., None] * r) ** 2, axis=-1)
+        wt = w * w * core.huber_weight(chi2, TH_3DOF) * lost_nbr_valid
+        denom = jnp.sum(wt, axis=-1, keepdims=True)
+        f_new = jnp.sum(wt[..., None] * nbr_flows, axis=1) / jnp.maximum(denom, 1e-12)
+        has_nbr = denom[:, 0] > 0
+        return jnp.where(has_nbr[:, None], f_new, f), None
+
+    f0 = jnp.zeros((lost_nbr_idx.shape[0], 3), flows.dtype)
+    f, _ = jax.lax.scan(step, f0, None, length=n_irls)
+    return f
