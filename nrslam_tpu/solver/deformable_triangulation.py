@@ -1,0 +1,268 @@
+"""Deformable landmark triangulation, batched over candidates.
+
+JAX-native equivalent of DeformableTriangulation
+(/root/reference/modules/optimization/g2o_optimization.cc:559-814): for each
+triangulation candidate, one 3D vertex per frame of its feature track (in
+that frame's camera coordinates), tied together by measured neighbor
+scene-flow.
+
+Per candidate:
+- rigid pre-gates between the first and last track frames: midpoint
+  triangulation, reprojection chi2 <= 5.991 at both views, parallax >=
+  5 * radians-per-pixel (:603-634 — the reference hardcodes 0.0025 rad/px).
+- per-frame seed: mean camera-frame depth of the image-space neighbors
+  observed in that frame, along the unprojected ray (:636-663).
+- factors: unary reprojection per frame (info 1/0.5^2, no robust kernel) +
+  a damper per (frame-pair x neighbor) whose measurement is the neighbor's
+  world scene-flow between the two frames (info 1/0.1^2, weight 1) (:665-761).
+- 10 LM iterations, then acceptance: <= 50% of dampers with chi2 > 7.815 and
+  <= 50% of frames with reprojection chi2 > 59.9 (:771-807).
+- result: the last-frame vertex's z-depth pushed through the last ray
+  (:809-813).
+
+The per-candidate system is tiny (3*T variables, T <= temporal window), so
+each candidate gets a dense Hessian and Cholesky solve, vmapped across the
+candidate axis — thousands of small dense solves in one batched kernel, the
+TPU-friendly shape for this workload.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nrslam_tpu.geometry import cameras, se3, triangulation
+from nrslam_tpu.solver import core
+
+INFO_REPROJECTION = 1.0 / (0.5 ** 2)
+SIGMA_SPATIAL = 0.1
+INFO_SPATIAL = 1.0 / (SIGMA_SPATIAL ** 2)
+TH_3DOF = 7.815
+REPROJ_REJECT = 5.99 * 10.0
+
+
+class TriangulationInputs(NamedTuple):
+    """Batched candidate data assembled from the temporal buffer."""
+
+    obs: jnp.ndarray        # [C, T, 2] keypoint track per buffer frame
+    track_valid: jnp.ndarray  # [C, T] frame is part of the track
+    nbr_pos: jnp.ndarray    # [C, NB, T, 3] neighbor world positions per frame
+    nbr_valid: jnp.ndarray  # [C, NB, T]
+    cand_valid: jnp.ndarray  # [C] candidate has usable neighbors
+
+
+def _first_last_idx(track_valid):
+    """Indices of the first and last valid frames of each track."""
+    T = track_valid.shape[-1]
+    idx = jnp.arange(T)
+    first = jnp.min(jnp.where(track_valid, idx, T), axis=-1)
+    last = jnp.max(jnp.where(track_valid, idx, -1), axis=-1)
+    first = jnp.clip(first, 0, T - 1)
+    last = jnp.clip(last, 0, T - 1)
+    return first, last
+
+
+def rigid_pregate(cam: cameras.Camera, inputs: TriangulationInputs,
+                  Tcw: se3.SE3, rad_per_pixel: float):
+    """First/last-frame rigid triangulation gates (:603-634).
+
+    Tcw: [T] camera-from-world poses for the buffer frames.
+    Returns [C] bool.
+    """
+    first, last = _first_last_idx(inputs.track_valid)
+    obs_f = jnp.take_along_axis(inputs.obs, first[:, None, None], axis=1)[:, 0]
+    obs_l = jnp.take_along_axis(inputs.obs, last[:, None, None], axis=1)[:, 0]
+    T_f = se3.index(Tcw, first)
+    T_l = se3.index(Tcw, last)
+
+    ray_f = cameras.unit_rays(cam, obs_f)
+    ray_l = cameras.unit_rays(cam, obs_l)
+    # Reference: TriangulateMidPoint(previous=back/last ray, current=front ray,
+    # previous_pose=last, current_pose=first) — ray order (last, first).
+    X = triangulation.triangulate_midpoint(ray_l, ray_f, T_l, T_f)
+
+    Xf = se3.apply(T_f, X)
+    Xl = se3.apply(T_l, X)
+    e_f = triangulation.squared_reprojection_error(obs_f, cameras.project(cam, Xf))
+    e_l = triangulation.squared_reprojection_error(obs_l, cameras.project(cam, Xl))
+
+    n1 = X - se3.inverse(T_f).t
+    n2 = X - se3.inverse(T_l).t
+    parallax = triangulation.rays_parallax(n1, n2)
+
+    ok = (jnp.isfinite(X).all(axis=-1)
+          & (e_f <= 5.991) & (e_l <= 5.991)
+          & (parallax >= rad_per_pixel * 5.0))
+    return ok
+
+
+def _seeds(cam, inputs: TriangulationInputs, Tcw: se3.SE3):
+    """Per-frame camera-frame seeds from mean neighbor depth (:636-663)."""
+    # neighbor camera-frame depth per (c, nb, t)
+    nbr_cam = se3.apply(jax.tree.map(lambda x: x[None, None], Tcw), inputs.nbr_pos)
+    depths = nbr_cam[..., 2]
+    w = inputs.nbr_valid.astype(jnp.float32)
+    n_nbr = jnp.sum(w, axis=1)                              # [C, T]
+    depth_seed = jnp.sum(depths * w, axis=1) / jnp.maximum(n_nbr, 1.0)
+    seed_ok = (n_nbr > 0) & (depth_seed > 0)
+    rays = cameras.unproject(cam, inputs.obs)               # [C, T, 3]
+    X0 = rays * depth_seed[..., None]
+    return X0, seed_ok
+
+
+def _assemble(cam, X, inputs: TriangulationInputs, frame_mask, pair_mask,
+              flow_obs, Rwc, twc):
+    """chi2 total + gradient + dense Hessian for one LM linearization.
+
+    X: [C, T, 3] camera-frame vertices. flow_obs: [C, T, T, NB, 3] neighbor
+    scene-flow measurements (t1 -> t2). Rwc/twc: world-from-camera rotations
+    [T, 3, 3] / translations [T, 3]. Returns (chi2, g [C, T*3],
+    H [C, T*3, T*3], chi2_r [C, T], chi2_s [C, T, T, NB]).
+    """
+    C, T, _ = X.shape
+
+    # Reprojection (no robust kernel).
+    e_r = inputs.obs - cameras.project(cam, X)              # [C, T, 2]
+    Jr = -cameras.projection_jacobian(cam, X)               # [C, T, 2, 3]
+    chi2_r = INFO_REPROJECTION * jnp.sum(e_r * e_r, axis=-1)
+    w_r = INFO_REPROJECTION * frame_mask
+
+    # Dampers on candidate world positions.
+    Xw = jnp.einsum("tij,ctj->cti", Rwc, X) + twc[None]
+    # dflow[c, t1, t2] = Xw[t2] - Xw[t1]
+    dflow = Xw[:, None, :, :] - Xw[:, :, None, :]
+    e_s = flow_obs - dflow[:, :, :, None, :]                # [C, T, T, NB, 3]
+    chi2_s = INFO_SPATIAL * jnp.sum(e_s * e_s, axis=-1)
+    w_s = INFO_SPATIAL * core.huber_weight(chi2_s, TH_3DOF) * pair_mask
+
+    chi2 = (jnp.sum(chi2_r * frame_mask, axis=(-1,))
+            + jnp.sum(core.huber_rho(chi2_s, TH_3DOF) * pair_mask, axis=(-1, -2, -3)))
+
+    # Gradient.
+    g = jnp.einsum("ctri,ct,ctr->cti", Jr, w_r, e_r)        # reprojection part
+    # e_s = obs - (Xw_t2 - Xw_t1): d e_s/d X_t1 = +R_t1, d e_s/d X_t2 = -R_t2
+    # (exact; the reference approximates both as +-I,
+    # spatial_regularizer_with_observation.cc:46-49).
+    s = jnp.sum(w_s[..., None] * e_s, axis=3)               # [C, T1, T2, 3]
+    g1 = jnp.einsum("tij,cti->ctj", Rwc, jnp.sum(s, axis=2))   # t as t1
+    g2 = -jnp.einsum("uij,cui->cuj", Rwc, jnp.sum(s, axis=1))  # u as t2
+    g = g + g1 + g2
+    g = g.reshape(C, T * 3)
+
+    # Hessian.
+    H = jnp.zeros((C, T, 3, T, 3), X.dtype)
+    # Reprojection: diagonal blocks J^T w J.
+    Hr = jnp.einsum("ctri,ct,ctrj->ctij", Jr, w_r, Jr)
+    H = H.at[:, jnp.arange(T), :, jnp.arange(T), :].add(jnp.swapaxes(Hr, 0, 1))
+    # Dampers: w_sum(t1,t2) = sum_nb w_s.
+    w_sum = jnp.sum(w_s, axis=3)                            # [C, T, T]
+    # Diagonal: X_t1 gets sum_t2 w_sum * I; X_t2 gets sum_t1 w_sum * I.
+    diag_w = jnp.sum(w_sum, axis=2) + jnp.sum(w_sum, axis=1)  # [C, T]
+    eye = jnp.eye(3, dtype=X.dtype)
+    H = H.at[:, jnp.arange(T), :, jnp.arange(T), :].add(
+        jnp.swapaxes(diag_w[..., None, None] * eye, 0, 1))
+    # Cross blocks: -R_t1^T R_t2 * w_sum(t1,t2) (and transpose).
+    RtR = jnp.einsum("tij,uik->tjuk", Rwc, Rwc)             # [T, 3, T, 3]
+    cross = -(w_sum + jnp.swapaxes(w_sum, 1, 2))[:, :, None, :, None] * RtR[None]
+    # zero out diagonal of cross
+    diag_idx = jnp.arange(T)
+    cross = cross.at[:, diag_idx, :, diag_idx, :].set(0.0)
+    H = H + cross
+
+    return chi2, g, H.reshape(C, T * 3, T * 3), chi2_r, chi2_s
+
+
+def deformable_triangulate(cam: cameras.Camera, inputs: TriangulationInputs,
+                           Tcw: se3.SE3, rad_per_pixel: float,
+                           min_track: int = 5, n_iters: int = 10):
+    """Run the full batched deformable triangulation.
+
+    Args:
+      Tcw: [T] buffer-frame camera poses.
+    Returns (landmarks_world [C, 3], ok [C]).
+    """
+    C, T, _ = inputs.obs.shape
+
+    track_len = jnp.sum(inputs.track_valid, axis=-1)
+    pre_ok = (inputs.cand_valid & (track_len >= min_track)
+              & rigid_pregate(cam, inputs, Tcw, rad_per_pixel))
+
+    X0, seed_ok = _seeds(cam, inputs, Tcw)
+    # Reference rejects the whole candidate if any track frame lacks
+    # neighbors or has a negative seed (:652-663).
+    seeds_all_ok = jnp.all(seed_ok | ~inputs.track_valid, axis=-1)
+    pre_ok = pre_ok & seeds_all_ok
+    X0 = jnp.where(inputs.track_valid[..., None], X0, 1.0)
+
+    Twc = se3.inverse(Tcw)
+    Rwc = se3.quat_to_matrix(Twc.q)                          # [T, 3, 3]
+    twc = Twc.t
+
+    # Neighbor scene-flow observations flow(t1 -> t2) per neighbor.
+    flow_obs = (inputs.nbr_pos[:, :, None, :, :]             # [C, NB, 1, T, 3]
+                - inputs.nbr_pos[:, :, :, None, :])          # -> [C, NB, T1, T2, 3]
+    flow_obs = jnp.moveaxis(flow_obs, 1, 3)                  # [C, T1, T2, NB, 3]
+
+    tri = jnp.tril(jnp.ones((T, T), bool), -1).T             # upper: t1 < t2
+    pair_mask = (inputs.track_valid[:, :, None] & inputs.track_valid[:, None, :])
+    nbr_both = jnp.moveaxis(
+        inputs.nbr_valid[:, :, None, :] & inputs.nbr_valid[:, :, :, None], 1, 3)
+    first, _ = _first_last_idx(inputs.track_valid)
+    nbr_at_first = jnp.take_along_axis(
+        inputs.nbr_valid, first[:, None, None], axis=2)[:, :, 0]  # [C, NB]
+    pair_mask = (pair_mask[:, :, :, None] & nbr_both
+                 & nbr_at_first[:, None, None, :]
+                 & tri[None, :, :, None]).astype(jnp.float32)
+    frame_mask = inputs.track_valid.astype(jnp.float32)
+
+    chi0, g, H, _, _ = _assemble(cam, X0, inputs, frame_mask, pair_mask,
+                                 flow_obs, Rwc, twc)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    lam0 = core.LM_TAU * jnp.max(diag, axis=-1)              # per candidate
+
+    def body(_, state):
+        X, lam, nu, chi2_cur = state
+        _, g, H, _, _ = _assemble(cam, X, inputs, frame_mask, pair_mask,
+                                  flow_obs, Rwc, twc)
+        n = H.shape[-1]
+        Hd = H + lam[:, None, None] * jnp.eye(n, dtype=H.dtype)[None]
+        dx = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
+        X_new = X + dx.reshape(C, T, 3)
+        chi2_new, _, _, _, _ = _assemble(cam, X_new, inputs, frame_mask,
+                                         pair_mask, flow_obs, Rwc, twc)
+        denom = jnp.einsum("ci,ci->c", dx, lam[:, None] * dx - g)
+        rho = (chi2_cur - chi2_new) / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+        lam, nu, accepted = core.lm_lambda_update(lam, nu, rho)
+        X = jnp.where(accepted[:, None, None], X_new, X)
+        chi2_cur = jnp.where(accepted, chi2_new, chi2_cur)
+        return X, lam, nu, chi2_cur
+
+    X, *_ = jax.lax.fori_loop(
+        0, n_iters, body, (X0, lam0, jnp.full((C,), 2.0, X0.dtype), chi0))
+
+    # Acceptance gates (:771-807).
+    _, _, _, chi2_r, chi2_s = _assemble(cam, X, inputs, frame_mask,
+                                        pair_mask, flow_obs, Rwc, twc)
+    n_pairs = jnp.sum(pair_mask, axis=(-1, -2, -3))
+    bad_pairs = jnp.sum((chi2_s > TH_3DOF) * pair_mask, axis=(-1, -2, -3))
+    pairs_ok = bad_pairs <= 0.5 * jnp.maximum(n_pairs, 1.0)
+
+    n_frames = jnp.sum(frame_mask, axis=-1)
+    bad_frames = jnp.sum((chi2_r > REPROJ_REJECT) * frame_mask, axis=-1)
+    frames_ok = bad_frames <= 0.5 * jnp.maximum(n_frames, 1.0)
+
+    # Result from the last frame's depth along its ray (:809-813).
+    _, last = _first_last_idx(inputs.track_valid)
+    X_last = jnp.take_along_axis(X, last[:, None, None], axis=1)[:, 0]
+    obs_last = jnp.take_along_axis(inputs.obs, last[:, None, None], axis=1)[:, 0]
+    ray = cameras.unproject(cam, obs_last)
+    ray = ray / ray[..., 2:3]
+    depth = X_last[..., 2]
+    T_last = se3.index(Twc, last)
+    landmark_world = se3.apply(T_last, ray * depth[..., None])
+
+    ok = (pre_ok & pairs_ok & frames_ok & (n_pairs > 0)
+          & jnp.isfinite(landmark_world).all(axis=-1))
+    return landmark_world, ok
