@@ -1,0 +1,83 @@
+"""Per-frame depth-RMSE evaluation against ground truth.
+
+Re-derivation of /root/reference/modules/utilities/frame_evaluator.cc for the
+precomputed-depth path (the one active in the reference, system.cc:179-184):
+ground-truth depths come from bilinear interpolation of a depth image at the
+tracked keypoints; the metric is an IQR-trimmed, iteratively scale-aligned
+depth RMSE (10 Gauss-Newton iterations on a scalar scale, 95% inlier trim —
+frame_evaluator.cc:134-226).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nrslam_tpu.geometry import cameras, se3
+from nrslam_tpu.ops import image as image_ops
+from nrslam_tpu.ops import klt
+from nrslam_tpu.utils import stats
+
+
+@partial(jax.jit, static_argnames=("cam_kind", "inlier_fraction"))
+def _depth_rmse_impl(keypoints, positions, valid, Tcw, depth_image,
+                     cam_params, cam_kind, inlier_fraction=0.95):
+    cam = cameras.Camera(cam_params, cam_kind)
+    est = se3.apply(Tcw, positions)[..., 2]
+
+    gt_depth = image_ops.bilinear_sample(depth_image, keypoints)
+    ray = cameras.unproject(cam, keypoints)
+    gt = (ray / ray[..., 2:3])[..., 2] * gt_depth  # z of the GT point
+    valid = valid & jnp.isfinite(gt) & jnp.isfinite(est)
+
+    # IQR trim on |est - gt| — with precomputed depth the reference keeps
+    # everything (precomputed_depth_ short-circuits the trim,
+    # frame_evaluator.cc:158-166) but applies the 95% inlier GN alignment.
+    scale = jnp.float32(1.0)
+    n_valid = jnp.sum(valid.astype(jnp.float32))
+    n_inliers = jnp.maximum(n_valid * inlier_fraction, 1.0)
+
+    def gn_step(scale, _):
+        r = gt - scale * est
+        r2 = jnp.where(valid, r * r, jnp.inf)
+        r2_sorted = jnp.sort(r2)
+        k = jnp.clip(n_inliers.astype(jnp.int32) - 1, 0, r2.shape[0] - 1)
+        th = r2_sorted[k]
+        inl = valid & (r2 <= th)
+        w = inl.astype(jnp.float32)
+        H = jnp.sum(w * est * est)
+        g = jnp.sum(w * (-r * est))
+        delta = -g / jnp.maximum(H, 1e-12)
+        scale = scale + delta
+        r_aligned = gt - scale * est
+        rmse = jnp.sqrt(jnp.sum(w * r_aligned * r_aligned)
+                        / jnp.maximum(jnp.sum(w), 1.0))
+        return scale, rmse
+
+    scale, rmses = jax.lax.scan(gn_step, scale, None, length=10)
+    return rmses[-1], scale
+
+
+class FrameEvaluator:
+    """Accumulates per-frame RMSE like the reference's results file."""
+
+    def __init__(self):
+        self.rmse_history = []
+        self.scale_history = []
+
+    def evaluate(self, state, cam: cameras.Camera, depth_image) -> float:
+        valid = state.slot_used & (state.status == 0)  # TRACKED_WITH_3D
+        rmse, scale = _depth_rmse_impl(
+            state.keypoints, state.positions, valid, state.Tcw, depth_image,
+            cam.params, cam.kind)
+        rmse = float(rmse)
+        self.rmse_history.append(rmse)
+        self.scale_history.append(float(scale))
+        return rmse
+
+    def save(self, path):
+        with open(path, "w") as f:
+            for r in self.rmse_history:
+                f.write(f"{r}\n")

@@ -1,0 +1,218 @@
+"""System facade: the per-frame entry point wiring preprocessing,
+initialization, tracking, and mapping.
+
+Functional re-design of /root/reference/modules/SLAM/system.{h,cc}. The
+public surface mirrors the reference:
+
+- ``System.track_image(rgb_or_gray)``            (system.cc:113-132)
+- ``System.track_image_with_depth(img, depth)``  (system.cc:162-187) — also
+  runs the depth-RMSE evaluator on tracked frames.
+
+Host-side responsibilities are only sequencing and the keyframe cadence; all
+per-frame math is jitted device code over the SlamState pytree.
+
+Note: the reference computes a CLAHE image every frame but tracks on the raw
+grayscale (the CLAHE output only feeds visualization — system.cc:113-132
+passes ``im_gray`` to Tracking; ``im_clahe`` is never consumed by the math
+path). ``apply_clahe`` is therefore off by default here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrslam_tpu.eval import evaluator as evaluator_mod
+from nrslam_tpu.geometry import cameras, se3
+from nrslam_tpu.ops import image as image_ops
+from nrslam_tpu.ops import klt
+from nrslam_tpu.slam import graph as graph_mod
+from nrslam_tpu.slam import initializer as init_mod
+from nrslam_tpu.slam import mapping as mapping_mod
+from nrslam_tpu.slam import state as state_mod
+from nrslam_tpu.slam import tracking as tracking_mod
+from nrslam_tpu.slam.state import Config
+from nrslam_tpu.utils import stats
+
+
+def bootstrap_map(state, result: init_mod.InitializationResult, pyramid,
+                  config: Config):
+    """Create the initial map from a successful rigid initialization.
+
+    Tracking::MonocularMapInitialization (tracking.cc:136-214): scale to
+    median depth 3, create mappoints + two keyframes (reference at identity,
+    current at the recovered pose), all-pairs deformation graph with sigma =
+    3 * scaled depth std, and set the KLT reference on the current image.
+    """
+    P = config.max_points
+    ok = result.point_ok
+    depths = result.landmarks[:, 2]
+    median_depth = stats.masked_median(depths, ok)
+    scale = 3.0 / median_depth
+    sigma_scaled = stats.masked_sigma(depths, ok) * scale
+
+    # Take up to P initialized points (priority by validity).
+    _, sel = jax.lax.top_k(jnp.where(ok, 1.0, 0.0), P)
+    sel_ok = ok[sel]
+
+    positions = result.landmarks[sel] * scale
+    Tcw = se3.SE3(result.Tcw.q, result.Tcw.t * scale)
+
+    state = state._replace(
+        slot_used=sel_ok,
+        track_id=jnp.where(sel_ok, result.track_id[sel], -1),
+        has_3d=sel_ok,
+        positions=jnp.where(sel_ok[:, None], positions, 0.0),
+        keypoints=jnp.where(sel_ok[:, None], result.cur_keypoints[sel], 0.0),
+        status=jnp.where(sel_ok, klt.TRACKED_WITH_3D,
+                         state_mod.NOT_IN_FRAME).astype(jnp.int32),
+        scale=scale,
+        next_track_id=jnp.max(jnp.where(sel_ok, result.track_id[sel], -1)) + 1,
+    )
+
+    # Reference keyframe (identity pose, reference keypoints).
+    ref_view = state._replace(
+        Tcw=se3.identity(),
+        keypoints=jnp.where(sel_ok[:, None], result.ref_keypoints[sel], 0.0))
+    state = state_mod.insert_keyframe(ref_view)._replace(
+        Tcw=Tcw, keypoints=state.keypoints)
+    state = state_mod.insert_keyframe(state)
+
+    # All-pairs graph (map.cc:139-167) with sigma = 3 * sigma_scaled.
+    state = state._replace(graph=graph_mod.initialize(
+        state.graph, state.positions, sel_ok,
+        jnp.maximum(3.0 * sigma_scaled, 1e-3)))
+
+    # KLT reference on the current image (tracking.cc:202-213).
+    refs = klt.set_reference(pyramid, state.keypoints, sel_ok,
+                             config.klt_config)
+    state = state._replace(refs=refs)
+
+    state = state_mod.insert_temporal_snapshot(state)
+    return state
+
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+TRACKING = "TRACKING"
+LOST = "LOST"
+
+
+class System:
+    """Stateful driver (host orchestration over jitted device steps)."""
+
+    def __init__(self, cam: cameras.Camera, config: Config = Config(),
+                 init_config: Optional[init_mod.InitializerConfig] = None,
+                 masker=None, apply_clahe: bool = False, seed: int = 4):
+        self.cam = cam
+        self.config = config
+        self.init_config = init_config or init_mod.InitializerConfig(
+            rad_per_pixel=config.rad_per_pixel,
+            nms_radius=config.nms_radius,
+            klt_min_ssim=config.klt_min_ssim_init)
+        self.masker = masker
+        self.apply_clahe = apply_clahe
+        self.status = NOT_INITIALIZED
+        self.state = None
+        self.init_state = None
+        self._frames_since_kf = 0
+        self._made_kf_last_frame = False
+        self._key = jax.random.PRNGKey(seed)  # reference fixes srand(4)
+        self.evaluator = evaluator_mod.FrameEvaluator()
+        self._image_shape = None
+
+    # -- preprocessing ------------------------------------------------------
+
+    def _preprocess(self, img):
+        img = jnp.asarray(img)
+        if img.ndim == 3:
+            img = image_ops.rgb_to_gray(img)
+        img = img.astype(jnp.float32)
+        if self.apply_clahe:
+            img = image_ops.clahe(img)
+        return img
+
+    def _mask(self, gray):
+        if self.masker is None:
+            return jnp.ones(gray.shape, bool)
+        return self.masker(gray)
+
+    # -- main entry points --------------------------------------------------
+
+    def track_image(self, img) -> dict:
+        gray = self._preprocess(img)
+        if self._image_shape is None:
+            self._image_shape = gray.shape
+        mask = self._mask(gray)
+        pyramid = klt.build_pyramid(gray, self.config.klt_config)
+
+        if self.status == NOT_INITIALIZED:
+            self._initialize(pyramid, mask)
+            return {"status": self.status}
+
+        make_kf = self._frames_since_kf >= self.config.keyframe_every
+        self._frames_since_kf = 0 if make_kf else self._frames_since_kf + 1
+
+        self.state, frame_result = tracking_mod.process_frame(
+            self.state, pyramid, mask, self.cam, self.config, make_kf)
+
+        # Mapping runs synchronously after tracking (system.cc:125).
+        self.state = mapping_mod.do_mapping(
+            self.state, self.cam, self.config, has_new_keyframe=make_kf)
+        self._made_kf_last_frame = make_kf
+
+        n3d = int(frame_result.n_tracked_3d)
+        if n3d < self.config.min_tracked_exit:
+            # The reference exit(0)s here (tracking.cc:97-99); we surface LOST.
+            self.status = LOST
+        return {"status": self.status, "n_tracked_3d": n3d,
+                "keyframe": make_kf}
+
+    def track_image_with_depth(self, img, depth) -> dict:
+        out = self.track_image(img)
+        if self.status == TRACKING and self.state is not None:
+            rmse = self.evaluator.evaluate(self.state, self.cam,
+                                           jnp.asarray(depth))
+            out["depth_rmse"] = rmse
+        return out
+
+    # -- initialization -----------------------------------------------------
+
+    def _initialize(self, pyramid, mask):
+        cfg = self.init_config
+        kcfg = self.config.klt_config
+        if self.init_state is None:
+            self.init_state = init_mod.reset(pyramid, mask, jnp.int32(0),
+                                             kcfg, cfg)
+            return
+
+        self.init_state, n = init_mod.track_frame(self.init_state, pyramid,
+                                                  kcfg, cfg)
+        n = int(n)
+        if n < cfg.min_matches or int(self.init_state.frames_from_ref) > cfg.max_frames_from_ref:
+            self.init_state = init_mod.reset(
+                pyramid, mask, self.init_state.next_track_id, kcfg, cfg)
+            return
+
+        self._key, sub = jax.random.split(self._key)
+        result = init_mod.try_initialize(self.cam, self.init_state, cfg, sub)
+        if bool(result.success):
+            state = state_mod.empty_state(self.config, self._image_shape)
+            self.state = bootstrap_map(state, result, pyramid, self.config)
+            self.status = TRACKING
+            self.init_state = None
+            self._frames_since_kf = 0
+
+    # -- introspection ------------------------------------------------------
+
+    def trajectory_pose(self):
+        return None if self.state is None else self.state.Tcw
+
+    def map_points(self):
+        if self.state is None:
+            return np.zeros((0, 3))
+        used = np.asarray(self.state.slot_used & self.state.has_3d)
+        return np.asarray(self.state.positions)[used]
