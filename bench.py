@@ -1,0 +1,114 @@
+"""Benchmark: steady-state SLAM frames/sec/chip on the synthetic sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The north-star metric (BASELINE.md) is end-to-end deformable-SLAM throughput;
+the baseline target is 30 fps (the reference C++ system is qualitatively
+"real time on an i7", README.md:43, and BASELINE.json sets >= 30 fps as the
+bar). vs_baseline = fps / 30.
+
+The measured loop is the steady-state per-frame work: KLT data association
+over the full point set, pose-only LM, joint pose+deformation LM-PCG, point
+reuse, temporal snapshot, and the mapping step (triangulation or keyframe BA
+at the reference's 1-in-5 cadence) — i.e. everything System.track_image does
+after initialization, on prerendered device-resident frames.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_bench_problem(max_points=384, height=240, width=320):
+    from nrslam_tpu.datasets import synthetic
+    from nrslam_tpu.geometry import cameras as cam_mod
+    from nrslam_tpu.ops import klt
+    from nrslam_tpu.slam import graph as graph_mod
+    from nrslam_tpu.slam import state as state_mod
+    from nrslam_tpu.slam.state import Config
+
+    scene = synthetic.SceneConfig(height=height, width=width,
+                                  deform_amp=0.02)
+    cam = synthetic.camera(scene)
+    config = Config(max_points=max_points, max_new_keypoints=128,
+                    rad_per_pixel=1.0 / scene.fx)
+
+    gray0, _, _ = synthetic.render_frame(0, scene)
+    pyr0 = klt.build_pyramid(gray0, config.klt_config)
+
+    state = state_mod.empty_state(config, gray0.shape)
+    key = jax.random.PRNGKey(0)
+    uv = jnp.stack([
+        25 + (width - 50) * jax.random.uniform(key, (max_points,)),
+        25 + (height - 50) * jax.random.uniform(jax.random.fold_in(key, 1),
+                                                (max_points,)),
+    ], -1)
+    rays = cam_mod.unproject(cam, uv)
+    positions = rays * 3.0
+    valid = jnp.ones(max_points, bool)
+    refs = klt.set_reference(pyr0, uv, valid, config.klt_config)
+    state = state._replace(
+        slot_used=valid,
+        track_id=jnp.arange(max_points, dtype=jnp.int32),
+        has_3d=valid,
+        positions=positions,
+        keypoints=uv,
+        status=jnp.zeros(max_points, jnp.int32),
+        refs=refs,
+        graph=graph_mod.initialize(state.graph, positions, valid, 3.0),
+    )
+    state = state_mod.insert_temporal_snapshot(state)
+    state = state_mod.insert_keyframe(state)
+
+    frames = []
+    for i in range(1, 7):
+        g, _, _ = synthetic.render_frame(i, scene)
+        frames.append(klt.build_pyramid(g, config.klt_config))
+    mask = jnp.ones(gray0.shape, bool)
+    return state, frames, mask, cam, config
+
+
+def main():
+    from nrslam_tpu.slam import mapping as mapping_mod
+    from nrslam_tpu.slam import tracking as tracking_mod
+
+    state, frames, mask, cam, config = build_bench_problem()
+
+    def frame_step(state, pyramid, make_kf):
+        state, res = tracking_mod.process_frame(state, pyramid, mask, cam,
+                                                config, make_keyframe=make_kf)
+        state = mapping_mod.do_mapping(state, cam, config,
+                                       has_new_keyframe=make_kf)
+        return state, res
+
+    # Warm-up / compile both specializations.
+    s = state
+    s, _ = frame_step(s, frames[0], False)
+    s, _ = frame_step(s, frames[1], True)
+    jax.block_until_ready(s.positions)
+
+    # Timed steady-state loop at the reference's 1-in-5 keyframe cadence.
+    n_frames = 50
+    s = state
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        make_kf = (i % 5) == 4
+        s, _ = frame_step(s, frames[i % len(frames)], make_kf)
+    jax.block_until_ready(s.positions)
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": "slam_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
