@@ -17,10 +17,21 @@ after initialization, on prerendered device-resident frames.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the remote TPU compile path is slow (minutes
+# per program), so warm-cache reruns matter.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def build_bench_problem(max_points=384, height=240, width=320):

@@ -85,11 +85,86 @@ def build_pyramid(img: jnp.ndarray, config: KLTConfig):
     return image_ops.build_pyramid(img, config.max_level + 1)
 
 
-def _window_grid(win: int):
+# ---------------------------------------------------------------------------
+# MXU-friendly sampling: one-hot matmul window extraction.
+#
+# XLA gathers are near-serial on TPU (the original gather formulation spent
+# ~450 ms/frame), so all patch sampling is phrased as one-hot row/column
+# selection matmuls that run on the systolic array instead: selecting S rows
+# of an [H, W] image is `one_hot(rows) @ img` — a [P*S, H] x [H, W] matmul.
+# ---------------------------------------------------------------------------
+
+def _extract_patches(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
+                     size: int) -> jnp.ndarray:
+    """Integer-aligned [P, size, size(, C)] patches via one-hot matmuls.
+
+    Out-of-image rows/cols clamp to the border (callers gate border points
+    via the status logic, so clamped values are never load-bearing).
+    """
+    H, W = img.shape[0], img.shape[1]
+    rows = jnp.clip(y0[:, None] + jnp.arange(size), 0, H - 1)
+    cols = jnp.clip(x0[:, None] + jnp.arange(size), 0, W - 1)
+    R = jax.nn.one_hot(rows, H, dtype=jnp.float32)       # [P, S, H]
+    C = jax.nn.one_hot(cols, W, dtype=jnp.float32)       # [P, S, W]
+    if img.ndim == 2:
+        rowsel = jnp.einsum("psh,hw->psw", R, img)
+        return jnp.einsum("psw,ptw->pst", rowsel, C)
+    rowsel = jnp.einsum("psh,hwc->pswc", R, img)
+    return jnp.einsum("pswc,ptw->pstc", rowsel, C)
+
+
+def _tile_window(tiles: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
+                 size: int) -> jnp.ndarray:
+    """Extract [P, size, size(, C)] windows at integer offsets from per-point
+    tiles [P, T, T(, C)] (one-hot matmuls on the point-local tiles)."""
+    T = tiles.shape[2]
+    R = jax.nn.one_hot(dy[:, None] + jnp.arange(size), T, dtype=jnp.float32)
+    C = jax.nn.one_hot(dx[:, None] + jnp.arange(size), T, dtype=jnp.float32)
+    if tiles.ndim == 3:
+        rowsel = jnp.einsum("prt,ptc->prc", R, tiles)
+        return jnp.einsum("prc,pwc->prw", rowsel, C)
+    rowsel = jnp.einsum("prt,ptck->prck", R, tiles)
+    return jnp.einsum("prck,pwc->prwk", rowsel, C)
+
+
+def _bilinear_from_int(win_plus1: jnp.ndarray, fx: jnp.ndarray,
+                       fy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation of a (S+1)-sized integer window down to S,
+    with one scalar fractional weight pair per point."""
+    w00 = ((1 - fx) * (1 - fy))
+    w01 = (fx * (1 - fy))
+    w10 = ((1 - fx) * fy)
+    w11 = (fx * fy)
+    if win_plus1.ndim == 3:
+        w00 = w00[:, None, None]
+        w01 = w01[:, None, None]
+        w10 = w10[:, None, None]
+        w11 = w11[:, None, None]
+    else:
+        w00 = w00[:, None, None, None]
+        w01 = w01[:, None, None, None]
+        w10 = w10[:, None, None, None]
+        w11 = w11[:, None, None, None]
+    return (w00 * win_plus1[:, :-1, :-1] + w01 * win_plus1[:, :-1, 1:]
+            + w10 * win_plus1[:, 1:, :-1] + w11 * win_plus1[:, 1:, 1:])
+
+
+def _sample_image_windows(img, pts, win: int):
+    """Bilinear window centered at continuous pts: [P, win, win(, C)]."""
     half = (win - 1) * 0.5
-    offs = jnp.arange(win, dtype=jnp.float32) - half
-    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
-    return jnp.stack([ox, oy], axis=-1)  # [W, W, 2] (x, y)
+    base_x = jnp.floor(pts[:, 0] - half)
+    base_y = jnp.floor(pts[:, 1] - half)
+    fx = pts[:, 0] - half - base_x
+    fy = pts[:, 1] - half - base_y
+    iw = _extract_patches(img, base_y.astype(jnp.int32),
+                          base_x.astype(jnp.int32), win + 1)
+    return _bilinear_from_int(iw, fx, fy)
+
+
+def _sample_windows(img, grad, pts, win: int):
+    """Bilinear intensity + gradient windows centered at continuous pts."""
+    return (_sample_image_windows(img, pts, win),
+            _sample_image_windows(grad, pts, win))
 
 
 def set_reference(pyramid, points: jnp.ndarray, point_valid: jnp.ndarray,
@@ -107,18 +182,26 @@ def set_reference(pyramid, points: jnp.ndarray, point_valid: jnp.ndarray,
       mask: optional [H, W] bool validity mask at full resolution.
     """
     win = config.win
-    grid = _window_grid(win)
     n_levels = len(pyramid)
     border_gap = round(win / 2)
+
+    mask_pyramid = []
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        for _ in range(n_levels):
+            mask_pyramid.append(m)
+            h2, w2 = m.shape[0] // 2, m.shape[1] // 2
+            m = jnp.minimum(
+                jnp.minimum(m[0:2 * h2:2, 0:2 * w2:2], m[1:2 * h2:2, 0:2 * w2:2]),
+                jnp.minimum(m[0:2 * h2:2, 1:2 * w2:2], m[1:2 * h2:2, 1:2 * w2:2]))
 
     patches, grads, means, means2, valids = [], [], [], [], []
     for level, (img, grad) in enumerate(pyramid):
         scale = 1.0 / (1 << level)
         pts_l = points * scale
-        centers = pts_l[:, None, None, :] + grid[None]  # [P, W, W, 2]
 
-        iw = image_ops.bilinear_sample(img, centers) * IVAL_SCALE
-        gw = image_ops.bilinear_sample(grad, centers)
+        iw, gw = _sample_windows(img, grad, pts_l, win)
+        iw = iw * IVAL_SCALE
 
         h, w = img.shape
         # In-bounds test matching the floor(point - halfWin) convention.
@@ -128,10 +211,14 @@ def set_reference(pyramid, points: jnp.ndarray, point_valid: jnp.ndarray,
         ok = in_bounds & point_valid
         if mask is not None:
             # Window pixels map back to full res by * 2^level
-            # (lucas_kanade_tracker.cc:118-122).
-            m = image_ops.bilinear_sample(
-                mask.astype(jnp.float32), centers / scale)
-            ok = ok & (jnp.min(m.reshape(m.shape[0], -1), axis=-1) > 0.99)
+            # (lucas_kanade_tracker.cc:118-122). A min-pooled mask pyramid
+            # level is equivalent to checking every covered full-res pixel.
+            mw = _extract_patches(
+                mask_pyramid[level],
+                jnp.floor(pts_l[:, 1] - (win - 1) * 0.5).astype(jnp.int32),
+                jnp.floor(pts_l[:, 0] - (win - 1) * 0.5).astype(jnp.int32),
+                win + 1)
+            ok = ok & (jnp.min(mw.reshape(mw.shape[0], -1), axis=-1) > 0.99)
 
         sum_i = jnp.sum(iw, axis=(-2, -1))
         sum_i2 = jnp.sum(iw * iw, axis=(-2, -1))
@@ -156,12 +243,10 @@ def _ssim_gate(img0, refs: KLTRefs, pts, statuses, min_ssim, config: KLTConfig,
                mask=None):
     """Final SSIM outlier check vs the level-0 reference window (:469-592)."""
     win = config.win
-    grid = _window_grid(win)
     h, w = img0.shape
     border_gap = round(win / 2) + 1
 
-    centers = pts[:, None, None, :] + grid[None]
-    jw = image_ops.bilinear_sample(img0, centers) * IVAL_SCALE
+    jw = _sample_image_windows(img0, pts, win) * IVAL_SCALE
 
     ip = jnp.floor(pts - (win - 1) * 0.5)
     in_bounds = ((ip[:, 0] >= -border_gap) & (ip[:, 0] < w - border_gap * 2)
@@ -208,7 +293,6 @@ def track(pyramid, refs: KLTRefs, seeds: jnp.ndarray, statuses: jnp.ndarray,
     OUT_IMAGE_BOUNDARIES, as in the reference (`!IWinBuf.ptr` check :246-252).
     """
     win = config.win
-    grid = _window_grid(win)
     max_level = len(pyramid) - 1
     area = win * win
     eps = config.epsilon
@@ -241,13 +325,31 @@ def track(pyramid, refs: KLTRefs, seeds: jnp.ndarray, statuses: jnp.ndarray,
 
         start = pts  # per-level start coordinates (drift clamp anchor)
 
+        # Per-point image tiles covering the whole iteration range: the drift
+        # clamp bounds every sampled position to <= 10 px from the level
+        # start, so a 48-tile (22 window + 2*13 margin) holds all windows.
+        TILE = 48
+        margin = (TILE - (win + 1)) // 2
+        half = (win - 1) * 0.5
+        tile_x0 = jnp.floor(start[:, 0] - half).astype(jnp.int32) - margin
+        tile_y0 = jnp.floor(start[:, 1] - half).astype(jnp.int32) - margin
+        timg = _extract_patches(img, tile_y0, tile_x0, TILE)
+        tgrad = _extract_patches(grad, tile_y0, tile_x0, TILE)
+
         def iter_body(j, carry):
             pts, prev_delta, done, statuses = carry
             active = track_this_level & ~done
 
-            centers = pts[:, None, None, :] + grid[None]
-            jw = image_ops.bilinear_sample(img, centers) * IVAL_SCALE
-            gw = image_ops.bilinear_sample(grad, centers)
+            base_x = jnp.floor(pts[:, 0] - half)
+            base_y = jnp.floor(pts[:, 1] - half)
+            fx = pts[:, 0] - half - base_x
+            fy = pts[:, 1] - half - base_y
+            dx_t = jnp.clip(base_x.astype(jnp.int32) - tile_x0, 0, TILE - win - 1)
+            dy_t = jnp.clip(base_y.astype(jnp.int32) - tile_y0, 0, TILE - win - 1)
+            jw = _bilinear_from_int(
+                _tile_window(timg, dy_t, dx_t, win + 1), fx, fy) * IVAL_SCALE
+            gw = _bilinear_from_int(
+                _tile_window(tgrad, dy_t, dx_t, win + 1), fx, fy)
 
             # Current-point bounds check.
             ipt = jnp.floor(pts - (win - 1) * 0.5)

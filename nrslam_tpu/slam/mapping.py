@@ -146,7 +146,12 @@ def _deformable_inputs(state: SlamState, config: Config, order, order_valid,
 
 
 def landmark_triangulation(state: SlamState, cam, config: Config) -> SlamState:
-    """Dual-path triangulation with the 1.5x majority vote (mapping.cc:65-257)."""
+    """Dual-path triangulation with the 1.5x majority vote (mapping.cc:65-257).
+
+    The deformable path is the expensive one (per-candidate dense LM), so
+    candidates are compacted into ``max_triangulation_candidates`` slots
+    before it runs and results scattered back afterwards.
+    """
     last = _last_snapshot_index(state)
     candidates = (state.tb_valid[last]
                   & state.tb_tracked[last] & ~state.tb_with3d[last]
@@ -162,8 +167,16 @@ def landmark_triangulation(state: SlamState, cam, config: Config) -> SlamState:
     inputs = _deformable_inputs(state, config, order, order_valid, nbr_idx,
                                 nbr_valid, candidates)
     poses = se3.index(state.tb_pose, order)
-    X_def, ok_def = dt.deformable_triangulate(cam, inputs, poses,
-                                              config.rad_per_pixel)
+
+    # Compact the candidate axis (fixed budget, mapping work scales with it).
+    C = min(config.max_triangulation_candidates, candidates.shape[0])
+    _, cand_sel = jax.lax.top_k(jnp.where(candidates, 1.0, 0.0), C)
+    inputs_c = jax.tree.map(lambda x: x[cand_sel], inputs)
+    X_def_c, ok_def_c = dt.deformable_triangulate(cam, inputs_c, poses,
+                                                  config.rad_per_pixel)
+    P = candidates.shape[0]
+    X_def = jnp.zeros((P, 3), X_def_c.dtype).at[cand_sel].set(X_def_c)
+    ok_def = jnp.zeros(P, bool).at[cand_sel].set(ok_def_c)
     ok_def = ok_def & candidates
 
     n_rigid = jnp.sum(ok_rigid.astype(jnp.int32))

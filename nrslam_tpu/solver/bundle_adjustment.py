@@ -60,14 +60,17 @@ def _masks(problem: BAProblem):
 
 
 def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
-            obs_mask, spring_mask, damper_mask, info_s):
+            obs_mask, spring_mask, damper_mask, info_s, S):
     """chi2, gradient, hvp and diagonal for the BA normal equations.
 
-    Parameter layout: [K*6 twists, K*P*3 landmarks].
+    Parameter layout: [K*6 twists, K*P*3 landmarks]. Edge gathers/scatters
+    are phrased through the dense one-hot selectors S = (Si, Sj) [E, P]
+    (MXU matmuls instead of slow TPU scatter ops).
     """
     K, P, _ = L.shape
     pairs = problem.pairs
-    E = pairs.i.shape[0]
+    Si, Sj = S
+    Sd = Si - Sj
 
     # --- Reprojection ---
     e_r, J_pose, J_land = residuals.reprojection(
@@ -76,9 +79,7 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
     w_r = INFO_REPROJECTION * core.huber_weight(chi2_r, TH_2DOF) * obs_mask
 
     # --- Springs (no Huber) ---
-    xi = L[:, pairs.i]   # [K, E, 3]
-    xj = L[:, pairs.j]
-    diff = xi - xj
+    diff = jnp.einsum("ep,kpl->kel", Sd, L)                     # [K, E, 3]
     dist = jnp.linalg.norm(diff, axis=-1)
     safe_d0 = jnp.maximum(pairs.d0, 1e-12)[None]
     e_p = SPRING_K * (dist - pairs.d0[None]) / safe_d0
@@ -88,7 +89,8 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
 
     # --- Temporal dampers ---
     dflow = (L[1:] - L[:-1])                                    # [K-1, P, 3]
-    e_d = pairs.w[None, :, None] * (dflow[:, pairs.i] - dflow[:, pairs.j])
+    ddiff = jnp.einsum("ep,kpl->kel", Sd, dflow)                # [K-1, E, 3]
+    e_d = pairs.w[None, :, None] * ddiff
     chi2_d = info_s * jnp.sum(e_d * e_d, axis=-1)
     w_d = info_s * core.huber_weight(chi2_d, TH_3DOF) * damper_mask
     wd2 = w_d * pairs.w[None] ** 2                              # [K-1, E]
@@ -101,22 +103,23 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
     g_pose = jnp.einsum("kpri,kp,kpr->ki", J_pose, w_r, e_r)    # [K, 6]
     g_land = jnp.einsum("kprl,kp,kpr->kpl", J_land, w_r, e_r)   # [K, P, 3]
     gp = (w_p * e_p)[..., None] * a
-    g_land = g_land.at[:, pairs.i].add(gp).at[:, pairs.j].add(-gp)
-    gd = (w_d * pairs.w[None])[..., None] * (dflow[:, pairs.i] - dflow[:, pairs.j])
-    # d(e_d)/dL: cur gets -, next gets + for i; opposite for j.
-    g_land = g_land.at[:-1, pairs.i].add(-gd).at[:-1, pairs.j].add(gd)
-    g_land = g_land.at[1:, pairs.i].add(gd).at[1:, pairs.j].add(-gd)
+    g_land = g_land + jnp.einsum("ep,kel->kpl", Sd, gp)
+    gd = wd2[..., None] * ddiff
+    # d(e_d)/dL: cur keyframe gets -, next gets + (per endpoint sign).
+    g_ddiff = jnp.einsum("ep,kel->kpl", Sd, gd)                 # [K-1, P, 3]
+    g_land = (g_land.at[:-1].add(-g_ddiff)).at[1:].add(g_ddiff)
     g = jnp.concatenate([g_pose.reshape(-1), g_land.reshape(-1)])
 
     # --- Block diagonal (preconditioner) ---
     H_pose = jnp.einsum("kpri,kp,kprj->kij", J_pose, w_r, J_pose)
     D = jnp.einsum("kprl,kp,kprm->kplm", J_land, w_r, J_land)
     eye3 = jnp.eye(3, dtype=L.dtype)
+    both = Si + Sj
     aaT = w_p[..., None, None] * a[..., :, None] * a[..., None, :]
-    D = D.at[:, pairs.i].add(aaT).at[:, pairs.j].add(aaT)
-    wd2e = wd2[..., None, None] * eye3
-    D = D.at[:-1, pairs.i].add(wd2e).at[:-1, pairs.j].add(wd2e)
-    D = D.at[1:, pairs.i].add(wd2e).at[1:, pairs.j].add(wd2e)
+    D = D + jnp.einsum("ep,kelm->kplm", both, aaT)
+    wd2p = jnp.einsum("ep,ke->kp", both, wd2)                   # [K-1, P]
+    D = D.at[:-1].add(wd2p[..., None, None] * eye3)
+    D = D.at[1:].add(wd2p[..., None, None] * eye3)
 
     def hvp(v, lam):
         vp = v[:K * 6].reshape(K, 6)
@@ -126,14 +129,14 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
         out_pose = jnp.einsum("kpri,kp,kpr->ki", J_pose, w_r, r_lin)
         out_land = jnp.einsum("kprl,kp,kpr->kpl", J_land, w_r, r_lin)
         # springs
-        dv = vl[:, pairs.i] - vl[:, pairs.j]
+        dv = jnp.einsum("ep,kpl->kel", Sd, vl)
         pv = (w_p * jnp.einsum("kel,kel->ke", a, dv))[..., None] * a
-        out_land = out_land.at[:, pairs.i].add(pv).at[:, pairs.j].add(-pv)
+        out_land = out_land + jnp.einsum("ep,kel->kpl", Sd, pv)
         # dampers
         dvf = vl[1:] - vl[:-1]
-        sv = wd2[..., None] * (dvf[:, pairs.i] - dvf[:, pairs.j])
-        out_land = out_land.at[:-1, pairs.i].add(-sv).at[:-1, pairs.j].add(sv)
-        out_land = out_land.at[1:, pairs.i].add(sv).at[1:, pairs.j].add(-sv)
+        sv = wd2[..., None] * jnp.einsum("ep,kpl->kel", Sd, dvf)
+        sv_land = jnp.einsum("ep,kel->kpl", Sd, sv)
+        out_land = (out_land.at[:-1].add(-sv_land)).at[1:].add(sv_land)
         out = jnp.concatenate([out_pose.reshape(-1), out_land.reshape(-1)])
         return out + lam * v
 
@@ -157,20 +160,22 @@ def local_deformable_ba(cam: cameras.Camera, poses0: se3.SE3, L0: jnp.ndarray,
     K, P, _ = L0.shape
     sigma_s = 0.1 * problem.scale
     info_s = 1.0 / (sigma_s * sigma_s)
+    from nrslam_tpu.solver.pose_deformation import scatter_matrices
+    S = scatter_matrices(problem.pairs, P)
     obs_mask, spring_mask, damper_mask = _masks(problem)
     obs_mask = obs_mask.astype(jnp.float32)
     spring_mask = spring_mask.astype(jnp.float32)
     damper_mask = damper_mask.astype(jnp.float32)
 
     chi0, g, hvp, diag = _system(cam, poses0, L0, problem, obs_mask,
-                                 spring_mask, damper_mask, info_s)
+                                 spring_mask, damper_mask, info_s, S)
     lam0 = core.lm_lambda_init(diag)
 
     def body(_, state):
         q, t, L, lam, nu, chi2_cur = state
         poses = se3.SE3(q, t)
         _, g, hvp, diag = _system(cam, poses, L, problem, obs_mask,
-                                  spring_mask, damper_mask, info_s)
+                                  spring_mask, damper_mask, info_s, S)
         m_inv = 1.0 / jnp.maximum(diag + lam, 1e-12)
         dx = core.pcg(lambda v: hvp(v, lam), -g, m_inv, cg_iters)
         d_pose = dx[:K * 6].reshape(K, 6)
@@ -178,7 +183,7 @@ def local_deformable_ba(cam: cameras.Camera, poses0: se3.SE3, L0: jnp.ndarray,
         poses_new = se3.retract(poses, d_pose)
         L_new = L + d_land
         chi2_new, _, _, _ = _system(cam, poses_new, L_new, problem, obs_mask,
-                                    spring_mask, damper_mask, info_s)
+                                    spring_mask, damper_mask, info_s, S)
         denom = jnp.dot(dx, lam * dx - g)
         rho = (chi2_cur - chi2_new) / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
         lam, nu, accepted = core.lm_lambda_update(lam, nu, rho)

@@ -55,18 +55,22 @@ def lm_lambda_update(lam, nu, rho_gain):
 
 
 def pcg(hvp: Callable[[jnp.ndarray], jnp.ndarray], b: jnp.ndarray,
-        m_inv_diag: jnp.ndarray, iters: int, tol: float = 1e-8) -> jnp.ndarray:
-    """Jacobi-preconditioned conjugate gradient for H x = b.
+        m_inv, iters: int, tol: float = 1e-8) -> jnp.ndarray:
+    """Preconditioned conjugate gradient for H x = b.
 
-    ``hvp`` must include any LM damping. Fixed iteration count with an
-    early-exit mask (static control flow for XLA). Replaces g2o's
-    LinearSolverEigen/Dense for the coupled systems — on TPU the
-    Hessian-vector products are batched einsum + segment-sum, which maps far
-    better to the hardware than sparse factorization.
+    ``hvp`` must include any LM damping. ``m_inv`` is either a diagonal
+    array or a callable applying a (block-)preconditioner. Fixed iteration
+    count with an early-exit mask (static control flow for XLA). Replaces
+    g2o's LinearSolverEigen/Dense for the coupled systems — on TPU the
+    Hessian-vector products are batched einsums, which map far better to the
+    hardware than sparse factorization.
     """
+    if not callable(m_inv):
+        m_inv_arr = m_inv
+        m_inv = lambda r: m_inv_arr * r
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = m_inv_diag * r0
+    z0 = m_inv(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
     b2 = jnp.vdot(b, b)
@@ -79,7 +83,7 @@ def pcg(hvp: Callable[[jnp.ndarray], jnp.ndarray], b: jnp.ndarray,
         alpha = jnp.where(done, 0.0, alpha)
         x = x + alpha * p
         r = r - alpha * hp
-        z = m_inv_diag * r
+        z = m_inv(r)
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(jnp.abs(rz) > 0, rz_new / rz, 0.0)
         p = z + beta * p

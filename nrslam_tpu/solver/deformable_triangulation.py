@@ -228,7 +228,10 @@ def deformable_triangulate(cam: cameras.Camera, inputs: TriangulationInputs,
                                   flow_obs, Rwc, twc)
         n = H.shape[-1]
         Hd = H + lam[:, None, None] * jnp.eye(n, dtype=H.dtype)[None]
-        dx = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
+        # H is SPD (Gauss-Newton + LM damping): batched Cholesky beats LU.
+        chol = jnp.linalg.cholesky(Hd)
+        dx = -jax.scipy.linalg.cho_solve((chol, True), g[..., None])[..., 0]
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         X_new = X + dx.reshape(C, T, 3)
         chi2_new, _, _, _, _ = _assemble(cam, X_new, inputs, frame_mask,
                                          pair_mask, flow_obs, Rwc, twc)

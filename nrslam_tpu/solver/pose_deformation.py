@@ -101,13 +101,27 @@ def _edge_residuals(cam, Tcw, rest, obs, flows, pairs: PairEdges,
     return (e_r, chi2_r), (e_s, chi2_s), (e_p, chi2_p, diff, dist)
 
 
-def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos):
+def scatter_matrices(pairs: PairEdges, P: int):
+    """Dense one-hot endpoint-selection matrices Si/Sj [E, P].
+
+    TPU scatters/gathers are slow; phrasing edge gathers as ``S @ x`` and
+    scatter-adds as ``S^T @ y`` turns them into MXU matmuls. E = P*K is a few
+    thousand, so the dense selectors are small.
+    """
+    Si = jax.nn.one_hot(pairs.i, P, dtype=jnp.float32)
+    Sj = jax.nn.one_hot(pairs.j, P, dtype=jnp.float32)
+    return Si, Sj
+
+
+def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos, S):
     """Gradient, chi2 total, Hv operator and block-diagonal preconditioner.
 
     Parameter vector layout: [twist(6), flows(3P)] flattened.
     """
     point_mask, spatial_mask, spring_mask = masks
     info_r, info_s, info_p = infos
+    Si, Sj = S
+    Sd = Si - Sj        # difference operator: Sd @ x = x_i - x_j
     P = rest.shape[0]
 
     (e_r, chi2_r), (e_s, chi2_s), (e_p, chi2_p, diff, dist) = _edge_residuals(
@@ -128,23 +142,21 @@ def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos):
     safe_dist = jnp.maximum(dist, 1e-12)
     a = (SPRING_K / jnp.maximum(pairs.d0, 1e-12))[:, None] * diff / safe_dist[:, None]
 
-    # Gradient g = J^T W e.
+    # Gradient g = J^T W e (edge terms via S^T matmuls).
     g_pose = jnp.einsum("pri,p,pr->i", J_pose, w_r, e_r)
     g_flow = jnp.einsum("prk,p,pr->pk", J_flow, w_r, e_r)
-    gs = (w_s * pairs.w)[:, None] * e_s
-    g_flow = g_flow.at[pairs.i].add(gs).at[pairs.j].add(-gs)
-    gp = (w_p * e_p)[:, None] * a
-    g_flow = g_flow.at[pairs.i].add(gp).at[pairs.j].add(-gp)
+    gs = (w_s * pairs.w)[:, None] * e_s + (w_p * e_p)[:, None] * a
+    g_flow = g_flow + jnp.einsum("ep,ek->pk", Sd, gs)
     g = jnp.concatenate([g_pose, g_flow.reshape(-1)])
 
     # Block-diagonal of H for the preconditioner.
     H_pose = jnp.einsum("pri,p,prj->ij", J_pose, w_r, J_pose)  # [6,6]
     D_flow = jnp.einsum("prk,p,prl->pkl", J_flow, w_r, J_flow)  # [P,3,3]
     eye3 = jnp.eye(3, dtype=flows.dtype)
-    D_flow = D_flow.at[pairs.i].add(ws[:, None, None] * eye3)
-    D_flow = D_flow.at[pairs.j].add(ws[:, None, None] * eye3)
+    both = Si + Sj
+    D_flow = D_flow + jnp.einsum("ep,kl->pkl", both * ws[:, None], eye3)
     aaT = w_p[:, None, None] * a[:, :, None] * a[:, None, :]
-    D_flow = D_flow.at[pairs.i].add(aaT).at[pairs.j].add(aaT)
+    D_flow = D_flow + jnp.einsum("ep,ekl->pkl", both, aaT)
 
     def hvp(v, lam):
         vp = v[:6]
@@ -153,37 +165,55 @@ def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos):
         r_lin = jnp.einsum("pri,i->pr", J_pose, vp) + jnp.einsum("prk,pk->pr", J_flow, vf)
         out_pose = jnp.einsum("pri,p,pr->i", J_pose, w_r, r_lin)
         out_flow = jnp.einsum("prk,p,pr->pk", J_flow, w_r, r_lin)
-        # Spatial: w^2 (vi - vj) scattered with +-.
-        dv = vf[pairs.i] - vf[pairs.j]
-        sv = ws[:, None] * dv
-        out_flow = out_flow.at[pairs.i].add(sv).at[pairs.j].add(-sv)
-        # Springs: rank-1 a a^T on (vi - vj).
-        pv = (w_p * jnp.einsum("ek,ek->e", a, dv))[:, None] * a
-        out_flow = out_flow.at[pairs.i].add(pv).at[pairs.j].add(-pv)
+        # Spatial dampers (w^2 I) and springs (rank-1 a a^T) act on vi - vj.
+        dv = jnp.einsum("ep,pk->ek", Sd, vf)
+        ev = ws[:, None] * dv + (w_p * jnp.einsum("ek,ek->e", a, dv))[:, None] * a
+        out_flow = out_flow + jnp.einsum("ep,ek->pk", Sd, ev)
         out = jnp.concatenate([out_pose, out_flow.reshape(-1)])
         return out + lam * v
 
-    diag = jnp.concatenate([jnp.diagonal(H_pose),
-                            jax.vmap(jnp.diagonal)(D_flow).reshape(-1)])
-    return g, chi2_total, hvp, diag, (chi2_r, chi2_s)
+    return g, chi2_total, hvp, (H_pose, D_flow), (chi2_r, chi2_s)
 
 
-def _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos, n_iters, cg_iters):
+def _block_preconditioner(H_pose, D_flow, lam):
+    """Inverse of the (pose 6x6, per-point 3x3) diagonal blocks + lam*I."""
+    P = D_flow.shape[0]
+    Hp = H_pose + lam * jnp.eye(6, dtype=H_pose.dtype)
+    Df = D_flow + lam * jnp.eye(3, dtype=D_flow.dtype)[None]
+    Df_inv = jnp.linalg.inv(Df)
+    Hp_inv = jnp.linalg.inv(Hp)
+
+    def apply(r):
+        rp = r[:6]
+        rf = r[6:].reshape(P, 3)
+        zp = Hp_inv @ rp
+        zf = jnp.einsum("pkl,pl->pk", Df_inv, rf)
+        return jnp.concatenate([zp, zf.reshape(-1)])
+
+    return apply
+
+
+def _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos, S, n_iters,
+                 cg_iters):
     P = rest.shape[0]
     flows0 = jnp.zeros_like(rest)
-    g, chi0, hvp, diag, _ = _system(cam, Tcw0, rest, obs, flows0, pairs, masks, infos)
-    lam0 = core.lm_lambda_init(diag)
+    g, chi0, hvp, (H_pose, D_flow), _ = _system(cam, Tcw0, rest, obs, flows0,
+                                                pairs, masks, infos, S)
+    diag0 = jnp.concatenate([jnp.diagonal(H_pose),
+                             jax.vmap(jnp.diagonal)(D_flow).reshape(-1)])
+    lam0 = core.lm_lambda_init(diag0)
 
     def body(_, state):
         Tq, Tt, flows, lam, nu, chi2_cur = state
         T = se3.SE3(Tq, Tt)
-        g, _, hvp, diag, _ = _system(cam, T, rest, obs, flows, pairs, masks, infos)
-        m_inv = 1.0 / jnp.maximum(diag + lam, 1e-12)
+        g, _, hvp, (H_pose, D_flow), _ = _system(cam, T, rest, obs, flows,
+                                                 pairs, masks, infos, S)
+        m_inv = _block_preconditioner(H_pose, D_flow, lam)
         dx = core.pcg(lambda v: hvp(v, lam), -g, m_inv, cg_iters)
         T_new = se3.retract(T, dx[:6])
         flows_new = flows + dx[6:].reshape(P, 3)
         _, chi2_new, _, _, _ = _system(cam, T_new, rest, obs, flows_new, pairs,
-                                       masks, infos)
+                                       masks, infos, S)
         denom = jnp.dot(dx, lam * dx - g)
         rho = (chi2_cur - chi2_new) / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
         lam, nu, accepted = core.lm_lambda_update(lam, nu, rho)
@@ -210,7 +240,7 @@ class PoseDeformationResult(NamedTuple):
 def pose_deformation_optimization(
         cam: cameras.Camera, Tcw0: se3.SE3, rest: jnp.ndarray,
         obs: jnp.ndarray, point_valid: jnp.ndarray, pairs: PairEdges,
-        scale, rounds=(10, 10), cg_iters: int = 32) -> PoseDeformationResult:
+        scale, rounds=(10, 10), cg_iters: int = 16) -> PoseDeformationResult:
     """Run the full two-round schedule and post-gating.
 
     Args:
@@ -226,6 +256,7 @@ def pose_deformation_optimization(
     info_s = 1.0 / (sigma_s * sigma_s)
     infos = (info_r, info_s, info_p)
 
+    S = scatter_matrices(pairs, rest.shape[0])
     pair_base = (pairs.valid & point_valid[pairs.i] & point_valid[pairs.j])
     point_mask = point_valid.astype(jnp.float32)
     spatial_mask = pair_base.astype(jnp.float32)
@@ -235,7 +266,7 @@ def pose_deformation_optimization(
     for n in rounds:
         masks = (point_mask, spatial_mask, spring_mask)
         T, flows = _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos,
-                                n, cg_iters)
+                                S, n, cg_iters)
         # Re-level by chi2 at the optimum (springs stay active; the
         # reference's point-level spatial demotion is overwritten by the
         # per-edge check, g2o_optimization.cc:358-392).
@@ -243,7 +274,7 @@ def pose_deformation_optimization(
             cam, T, rest, obs, flows, pairs,
             (point_valid.astype(jnp.float32),
              pair_base.astype(jnp.float32),
-             pair_base.astype(jnp.float32)), infos)
+             pair_base.astype(jnp.float32)), infos, S)
         point_mask = (point_valid & (chi2_r <= TH_2DOF)).astype(jnp.float32)
         spatial_mask = (pair_base & (chi2_s <= TH_3DOF)).astype(jnp.float32)
 
@@ -253,7 +284,7 @@ def pose_deformation_optimization(
         cam, T, rest, obs, flows, pairs,
         (point_valid.astype(jnp.float32),
          pair_base.astype(jnp.float32), pair_base.astype(jnp.float32)),
-        infos)
+        infos, S)
     reproj_inlier = point_valid & (chi2_r <= TH_2DOF)
 
     mag = jnp.linalg.norm(flows, axis=-1)
