@@ -21,6 +21,35 @@ from nrslam_tpu.ops import klt
 from nrslam_tpu.utils import stats
 
 
+@partial(jax.jit, static_argnames=("inlier_fraction",))
+def _scale_aligned_rmse(est, gt, valid, inlier_fraction=0.95):
+    """IQR-free iteratively scale-aligned depth RMSE over masked arrays
+    (the 10-GN-iteration core of frame_evaluator.cc:134-226)."""
+    valid = valid & jnp.isfinite(gt) & jnp.isfinite(est)
+    n_valid = jnp.sum(valid.astype(jnp.float32))
+    n_inliers = jnp.maximum(n_valid * inlier_fraction, 1.0)
+    scale = jnp.float32(1.0)
+
+    def gn_step(scale, _):
+        r = gt - scale * est
+        r2 = jnp.where(valid, r * r, jnp.inf)
+        r2_sorted = jnp.sort(r2)
+        k = jnp.clip(n_inliers.astype(jnp.int32) - 1, 0, r2.shape[0] - 1)
+        th = r2_sorted[k]
+        inl = valid & (r2 <= th)
+        w = inl.astype(jnp.float32)
+        H = jnp.sum(w * est * est)
+        g = jnp.sum(w * (-r * est))
+        scale = scale - g / jnp.maximum(H, 1e-12)
+        r_aligned = gt - scale * est
+        rmse = jnp.sqrt(jnp.sum(w * r_aligned * r_aligned)
+                        / jnp.maximum(jnp.sum(w), 1.0))
+        return scale, rmse
+
+    scale, rmses = jax.lax.scan(gn_step, scale, None, length=10)
+    return rmses[-1]
+
+
 @partial(jax.jit, static_argnames=("cam_kind", "inlier_fraction"))
 def _depth_rmse_impl(keypoints, positions, valid, Tcw, depth_image,
                      cam_params, cam_kind, inlier_fraction=0.95):

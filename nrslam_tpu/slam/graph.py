@@ -151,6 +151,31 @@ def top_k_neighbors(graph: GraphState, eligible: jnp.ndarray, k: int):
     return top_idx, jnp.maximum(top_w, 0.0), d0, valid
 
 
+def neighborhood_rings(graph: GraphState, seed_mask: jnp.ndarray, k: int):
+    """0th/1st/2nd-order neighborhood rings of a seed landmark set.
+
+    Masked-array analogue of GetOptimizationNeighbours
+    (regularization_graph.cc:159-232, currently unused by reference callers
+    but part of its public surface): ring0 = seeds, ring1 = top-k usable
+    neighbors of seeds outside the seed set, ring2 = top-k usable neighbors
+    of ring1 outside rings 0/1. Returns (ring0, ring1, ring2) bool [P].
+    """
+    usable = graph.exists & ~graph.bad & (graph.weight >= MIN_WEIGHT)
+
+    def expand(frontier, excluded):
+        scores = jnp.where(usable & frontier[:, None], graph.weight, -1.0)
+        topw, topi = jax.lax.top_k(scores, k)
+        P = frontier.shape[0]
+        hit = jnp.zeros(P, bool).at[topi.reshape(-1)].max(
+            (topw > 0).reshape(-1))
+        return hit & ~excluded
+
+    ring0 = seed_mask
+    ring1 = expand(ring0, ring0)
+    ring2 = expand(ring1, ring0 | ring1)
+    return ring0, ring1, ring2
+
+
 def remove_landmarks(graph: GraphState, remove_mask: jnp.ndarray) -> GraphState:
     """Drop all edges incident to removed landmark slots (slot recycling)."""
     keep = ~remove_mask

@@ -96,6 +96,41 @@ def bootstrap_map(state, result: init_mod.InitializationResult, pyramid,
     return state
 
 
+def bootstrap_map_stereo(state, keypoints, landmarks, point_ok, track_ids,
+                         pyramid, config: Config,
+                         graph_sigma: float = 10.5):
+    """Create the initial map from stereo-triangulated landmarks.
+
+    Tracking::StereoMapInitialization (tracking.cc:216-289): landmarks come
+    metric from a stereo matcher (optionally DBSCAN-filtered by the caller),
+    scale is 1, the graph sigma is the stereo default 10.5, and a single
+    keyframe seeds the map.
+    """
+    P = config.max_points
+    _, sel = jax.lax.top_k(jnp.where(point_ok, 1.0, 0.0), P)
+    sel_ok = point_ok[sel]
+
+    state = state._replace(
+        slot_used=sel_ok,
+        track_id=jnp.where(sel_ok, track_ids[sel], -1),
+        has_3d=sel_ok,
+        positions=jnp.where(sel_ok[:, None], landmarks[sel], 0.0),
+        keypoints=jnp.where(sel_ok[:, None], keypoints[sel], 0.0),
+        status=jnp.where(sel_ok, klt.TRACKED_WITH_3D,
+                         state_mod.NOT_IN_FRAME).astype(jnp.int32),
+        scale=jnp.float32(1.0),
+        next_track_id=jnp.max(jnp.where(sel_ok, track_ids[sel], -1)) + 1,
+    )
+    state = state._replace(graph=graph_mod.initialize(
+        state.graph, state.positions, sel_ok, graph_sigma))
+    refs = klt.set_reference(pyramid, state.keypoints, sel_ok,
+                             config.klt_config)
+    state = state._replace(refs=refs)
+    state = state_mod.insert_keyframe(state)
+    state = state_mod.insert_temporal_snapshot(state)
+    return state
+
+
 NOT_INITIALIZED = "NOT_INITIALIZED"
 TRACKING = "TRACKING"
 LOST = "LOST"
@@ -106,7 +141,8 @@ class System:
 
     def __init__(self, cam: cameras.Camera, config: Config = Config(),
                  init_config: Optional[init_mod.InitializerConfig] = None,
-                 masker=None, apply_clahe: bool = False, seed: int = 4):
+                 masker=None, apply_clahe: bool = False, seed: int = 4,
+                 auto_reinitialize: bool = False):
         self.cam = cam
         self.config = config
         self.init_config = init_config or init_mod.InitializerConfig(
@@ -115,6 +151,7 @@ class System:
             klt_min_ssim=config.klt_min_ssim_init)
         self.masker = masker
         self.apply_clahe = apply_clahe
+        self.auto_reinitialize = auto_reinitialize
         self.status = NOT_INITIALIZED
         self.state = None
         self.init_state = None
@@ -166,8 +203,15 @@ class System:
 
         n3d = int(frame_result.n_tracked_3d)
         if n3d < self.config.min_tracked_exit:
-            # The reference exit(0)s here (tracking.cc:97-99); we surface LOST.
-            self.status = LOST
+            # The reference exit(0)s here (tracking.cc:97-99); we surface
+            # LOST, and optionally recover by re-initializing a fresh map
+            # (relocalization-or-reinit policy, SURVEY.md §5).
+            if self.auto_reinitialize:
+                self.status = NOT_INITIALIZED
+                self.state = None
+                self.init_state = None
+            else:
+                self.status = LOST
         return {"status": self.status, "n_tracked_3d": n3d,
                 "keyframe": make_kf}
 
@@ -177,6 +221,26 @@ class System:
             rmse = self.evaluator.evaluate(self.state, self.cam,
                                            jnp.asarray(depth))
             out["depth_rmse"] = rmse
+        return out
+
+    def track_image_with_stereo(self, img_left, img_right,
+                                bf: float = 0.0) -> dict:
+        """Stereo variant (system.cc:134-160): track on the left image; the
+        right image provides stereo ground truth for evaluation. The
+        reference compiles the stereo evaluator call out (`if (false && ...)`,
+        system.cc:152-157); here it runs when ``bf`` is provided."""
+        out = self.track_image(img_left)
+        if bf > 0 and self.status == TRACKING and self.state is not None:
+            from nrslam_tpu.ops import stereo as stereo_ops
+            gray_l = self._preprocess(img_left)
+            gray_r = self._preprocess(img_right)
+            valid = (self.state.slot_used
+                     & (self.state.status == 0))  # TRACKED_WITH_3D
+            gt3d, ok = stereo_ops.stereo_pattern_matching(
+                self.cam, bf, gray_l, gray_r, self.state.keypoints, valid)
+            est = se3.apply(self.state.Tcw, self.state.positions)[..., 2]
+            out["stereo_rmse"] = float(
+                evaluator_mod._scale_aligned_rmse(est, gt3d[..., 2], ok))
         return out
 
     # -- initialization -----------------------------------------------------
