@@ -38,11 +38,19 @@ class SceneConfig(NamedTuple):
     texture_scale: float = 3.0
     motion_translation: float = 0.012  # per-frame camera translation
     motion_rotation: float = 0.003     # per-frame camera rotation (rad)
+    camera_kind: str = cameras.PINHOLE  # or cameras.KB8 (fisheye)
+    # Kannala-Brandt distortion (endomapper-style fisheye) when kind is KB8.
+    kb_coeffs: tuple = (-0.01, 0.02, -0.01, 0.002)
 
 
 def camera(config: SceneConfig) -> cameras.Camera:
-    return cameras.pinhole(config.fx, config.fy,
-                           (config.width - 1) / 2.0, (config.height - 1) / 2.0)
+    cx = (config.width - 1) / 2.0
+    cy = (config.height - 1) / 2.0
+    if config.camera_kind == cameras.KB8:
+        k0, k1, k2, k3 = config.kb_coeffs
+        return cameras.kannala_brandt8(config.fx, config.fy, cx, cy,
+                                       k0, k1, k2, k3)
+    return cameras.pinhole(config.fx, config.fy, cx, cy)
 
 
 def surface_height(x, y, t, config: SceneConfig):
