@@ -210,9 +210,9 @@ def _level_kernel(
             jnp.int32(EVENT_NONE))
     x, y, _, _, _, event = jax.lax.fori_loop(0, max_iters, body, init)
 
-    out_pts_ref[0, 0] = x
-    out_pts_ref[0, 1] = y
-    out_event_ref[0] = event
+    out_pts_ref[p, 0] = x
+    out_pts_ref[p, 1] = y
+    out_event_ref[p] = event
 
 
 def track_level(img, gx, gy, patch, patch_gx, patch_gy, pts, active,
@@ -255,10 +255,10 @@ def track_level(img, gx, gy, patch, patch_gx, patch_gy, pts, active,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2), lambda p, *_: (p, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda p, *_: (p,),
-                         memory_space=pltpu.SMEM),
+            # Whole-array SMEM outputs; each program writes its own slot
+            # (small per-point blocks violate the (8, 128) tiling rule).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_R, TILE_C), jnp.float32),

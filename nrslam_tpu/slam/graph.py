@@ -26,8 +26,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import math
+
 STRETCH_THRESHOLD = 1.1          # map.cc:29 (streching_th)
-MIN_WEIGHT = float(jnp.exp(-1.125))  # InterpolationWeight(1.5*sigma, sigma)
+MIN_WEIGHT = math.exp(-1.125)    # InterpolationWeight(1.5*sigma, sigma)
 
 
 def rbf_weight(distance, sigma):
