@@ -31,6 +31,8 @@ def run_sequence(deform_amp, n_frames=24, max_points=256):
         gray, depth, Tcw_gt = seq.get_frame(i)
         out = sys.track_image_with_depth(gray, depth)
         out["gt_pose"] = Tcw_gt
+        if sys.status == system_mod.TRACKING and sys.state is not None:
+            out["est_pose"] = sys.state.Tcw
         results.append(out)
         if sys.status == system_mod.LOST:
             break
@@ -45,6 +47,16 @@ def test_rigid_sequence_tracks_and_reconstructs():
     assert len(rmses) >= 10, f"only {len(rmses)} tracked frames"
     # scene depth ~3 units; aligned depth RMSE should be a small fraction
     assert np.median(rmses) < 0.15, rmses
+
+    # Trajectory check: ATE (Sim3-aligned, monocular scale) against GT poses
+    # over the tracked frames.
+    from nrslam_tpu.eval import metrics
+    est = [r["est_pose"] for r in results if "est_pose" in r]
+    gt = [r["gt_pose"] for r in results if "est_pose" in r]
+    assert len(est) >= 10
+    ate = metrics.ate_rmse(est, gt, with_scale=True)
+    # GT translation magnitude over the clip is ~0.3 units.
+    assert ate < 0.03, ate
 
 
 @pytest.mark.slow
