@@ -34,7 +34,11 @@ except Exception:
     pass
 
 
-def build_bench_problem(max_points=384, height=240, width=320):
+def build_bench_problem(max_points=None, height=None, width=None):
+    """Problem sizes override via env: BENCH_POINTS / BENCH_H / BENCH_W."""
+    max_points = max_points or int(os.environ.get("BENCH_POINTS", 384))
+    height = height or int(os.environ.get("BENCH_H", 240))
+    width = width or int(os.environ.get("BENCH_W", 320))
     from nrslam_tpu.datasets import synthetic
     from nrslam_tpu.geometry import cameras as cam_mod
     from nrslam_tpu.ops import klt
