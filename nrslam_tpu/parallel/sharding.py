@@ -83,7 +83,7 @@ def pose_system_shard_map(mesh: Mesh, cam: cameras.Camera):
     its partial H [6, 6] and g [6]; one psum over ``pt`` (ICI all-reduce)
     produces the global system on every device.
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
     from nrslam_tpu.solver import residuals
 
     def local_system(Tq, Tt, X, obs, w):

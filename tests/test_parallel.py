@@ -79,6 +79,64 @@ def test_shard_map_pose_system_matches(mesh):
                                atol=1e-5 * max(1.0, np.abs(np.asarray(g_ref)).max()))
 
 
+def test_kf_sharded_ba_matches_single_device():
+    """Keyframe-axis BA with ppermute halo == single-device BA."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from tests.test_bundle_adjustment import make_window, CAM
+    from nrslam_tpu.geometry import se3
+    from nrslam_tpu.parallel import ba_shard
+    from nrslam_tpu.solver import bundle_adjustment as ba
+
+    poses_true, L_true, obs, problem = make_window(K=8, P=64)
+    key = jax.random.PRNGKey(7)
+    poses0 = se3.SE3(poses_true.q,
+                     poses_true.t + 0.01 * jax.random.normal(
+                         key, poses_true.t.shape))
+    L0 = L_true + 0.03 * jax.random.normal(jax.random.fold_in(key, 1),
+                                           L_true.shape)
+
+    poses_ref, L_ref = ba.local_deformable_ba(CAM, poses0, L0, problem)
+
+    kf_mesh = Mesh(np.array(jax.devices()[:4]), ("kf",))
+    poses_sh, L_sh = ba_shard.local_deformable_ba_kf_sharded(
+        kf_mesh, CAM, poses0, L0, problem)
+
+    np.testing.assert_allclose(np.asarray(poses_sh.t),
+                               np.asarray(poses_ref.t), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(L_sh), np.asarray(L_ref), atol=2e-3)
+
+    # and it actually solved the problem, not just matched:
+    from nrslam_tpu.geometry import cameras
+    pred = cameras.project(CAM, se3.apply(
+        jax.tree.map(lambda x: x[:, None], poses_sh), L_sh))
+    rmse = float(jnp.sqrt(jnp.mean(jnp.sum((pred - obs) ** 2, -1))))
+    pred0 = cameras.project(CAM, se3.apply(
+        jax.tree.map(lambda x: x[:, None], poses0), L0))
+    rmse0 = float(jnp.sqrt(jnp.mean(jnp.sum((pred0 - obs) ** 2, -1))))
+    assert rmse < 0.2 * rmse0, (rmse0, rmse)
+
+
+def test_kf_sharded_ba_masked_keyframes():
+    """Invalid keyframe slots (ring not yet full) stay inert when sharded."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from tests.test_bundle_adjustment import make_window, CAM
+    from nrslam_tpu.parallel import ba_shard
+
+    poses_true, L_true, obs, problem = make_window(K=8, P=64)
+    kf_valid = jnp.arange(8) < 5
+    problem = problem._replace(
+        kf_valid=kf_valid,
+        obs=jnp.where(kf_valid[:, None, None], problem.obs, jnp.nan))
+    L0 = jnp.where(kf_valid[:, None, None], L_true, 1.0)
+    kf_mesh = Mesh(np.array(jax.devices()[:4]), ("kf",))
+    poses1, L1 = ba_shard.local_deformable_ba_kf_sharded(
+        kf_mesh, CAM, poses_true, L0, problem)
+    assert np.isfinite(np.asarray(L1[:5])).all()
+    assert np.isfinite(np.asarray(poses1.t[:5])).all()
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     if len(jax.devices()) < 8:
