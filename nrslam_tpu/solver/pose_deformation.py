@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -113,8 +115,26 @@ def scatter_matrices(pairs: PairEdges, P: int):
     return Si, Sj
 
 
+class Linearization(NamedTuple):
+    """System linearized at one (pose, flows) point — a pure-array pytree so
+    it can ride a fori_loop carry (the Hv operator is rebuilt from it)."""
+
+    g: jnp.ndarray        # [6+3P] gradient
+    chi2: jnp.ndarray     # robustified total
+    H_pose: jnp.ndarray   # [6, 6] pose diagonal block
+    D_flow: jnp.ndarray   # [P, 3, 3] flow diagonal blocks
+    J_pose: jnp.ndarray   # [P, 2, 6]
+    J_flow: jnp.ndarray   # [P, 2, 3]
+    w_r: jnp.ndarray      # [P] IRLS reprojection weights
+    ws: jnp.ndarray       # [E] spatial gain^2 * IRLS weight
+    w_p: jnp.ndarray      # [E] spring IRLS weight
+    a: jnp.ndarray        # [E, 3] spring direction rows
+    chi2_r: jnp.ndarray   # [P] per-point reprojection chi2
+    chi2_s: jnp.ndarray   # [E] per-edge spatial chi2
+
+
 def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos, S):
-    """Gradient, chi2 total, Hv operator and block-diagonal preconditioner.
+    """Linearize at (Tcw, flows): gradient, chi2, Jacobian blocks, weights.
 
     Parameter vector layout: [twist(6), flows(3P)] flattened.
     """
@@ -122,7 +142,6 @@ def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos, S):
     info_r, info_s, info_p = infos
     Si, Sj = S
     Sd = Si - Sj        # difference operator: Sd @ x = x_i - x_j
-    P = rest.shape[0]
 
     (e_r, chi2_r), (e_s, chi2_s), (e_p, chi2_p, diff, dist) = _edge_residuals(
         cam, Tcw, rest, obs, flows, pairs, info_r, info_s, info_p)
@@ -158,21 +177,33 @@ def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos, S):
     aaT = w_p[:, None, None] * a[:, :, None] * a[:, None, :]
     D_flow = D_flow + jnp.einsum("ep,ekl->pkl", both, aaT)
 
+    return Linearization(g, chi2_total, H_pose, D_flow, J_pose, J_flow,
+                         w_r, ws, w_p, a, chi2_r, chi2_s)
+
+
+def _make_hvp(lin: Linearization, S):
+    """Gauss-Newton Hessian-vector operator from a carried linearization."""
+    Si, Sj = S
+    Sd = Si - Sj
+    P = lin.J_flow.shape[0]
+
     def hvp(v, lam):
         vp = v[:6]
         vf = v[6:].reshape(P, 3)
         # Reprojection couples pose and flows.
-        r_lin = jnp.einsum("pri,i->pr", J_pose, vp) + jnp.einsum("prk,pk->pr", J_flow, vf)
-        out_pose = jnp.einsum("pri,p,pr->i", J_pose, w_r, r_lin)
-        out_flow = jnp.einsum("prk,p,pr->pk", J_flow, w_r, r_lin)
+        r_lin = (jnp.einsum("pri,i->pr", lin.J_pose, vp)
+                 + jnp.einsum("prk,pk->pr", lin.J_flow, vf))
+        out_pose = jnp.einsum("pri,p,pr->i", lin.J_pose, lin.w_r, r_lin)
+        out_flow = jnp.einsum("prk,p,pr->pk", lin.J_flow, lin.w_r, r_lin)
         # Spatial dampers (w^2 I) and springs (rank-1 a a^T) act on vi - vj.
         dv = jnp.einsum("ep,pk->ek", Sd, vf)
-        ev = ws[:, None] * dv + (w_p * jnp.einsum("ek,ek->e", a, dv))[:, None] * a
+        ev = (lin.ws[:, None] * dv
+              + (lin.w_p * jnp.einsum("ek,ek->e", lin.a, dv))[:, None] * lin.a)
         out_flow = out_flow + jnp.einsum("ep,ek->pk", Sd, ev)
         out = jnp.concatenate([out_pose, out_flow.reshape(-1)])
         return out + lam * v
 
-    return g, chi2_total, hvp, (H_pose, D_flow), (chi2_r, chi2_s)
+    return hvp
 
 
 def _block_preconditioner(H_pose, D_flow, lam):
@@ -195,37 +226,45 @@ def _block_preconditioner(H_pose, D_flow, lam):
 
 def _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos, S, n_iters,
                  cg_iters):
+    """LM with the linearization carried across iterations.
+
+    Each iteration evaluates the system exactly once — at the trial point,
+    where the evaluation doubles as the gain-ratio chi2 — instead of
+    re-linearizing the accepted point a second time. The linearization is a
+    pytree of arrays (g, chi2, Jacobian blocks, IRLS weights) selected by
+    ``jnp.where`` on acceptance so it survives the fori_loop carry.
+    """
     P = rest.shape[0]
     flows0 = jnp.zeros_like(rest)
-    g, chi0, hvp, (H_pose, D_flow), _ = _system(cam, Tcw0, rest, obs, flows0,
-                                                pairs, masks, infos, S)
-    diag0 = jnp.concatenate([jnp.diagonal(H_pose),
-                             jax.vmap(jnp.diagonal)(D_flow).reshape(-1)])
+
+    lin0 = _system(cam, Tcw0, rest, obs, flows0, pairs, masks, infos, S)
+    diag0 = jnp.concatenate([jnp.diagonal(lin0.H_pose),
+                             jax.vmap(jnp.diagonal)(lin0.D_flow).reshape(-1)])
     lam0 = core.lm_lambda_init(diag0)
 
     def body(_, state):
-        Tq, Tt, flows, lam, nu, chi2_cur = state
+        Tq, Tt, flows, lin, lam, nu = state
         T = se3.SE3(Tq, Tt)
-        g, _, hvp, (H_pose, D_flow), _ = _system(cam, T, rest, obs, flows,
-                                                 pairs, masks, infos, S)
-        m_inv = _block_preconditioner(H_pose, D_flow, lam)
-        dx = core.pcg(lambda v: hvp(v, lam), -g, m_inv, cg_iters)
+        hvp = _make_hvp(lin, S)
+        m_inv = _block_preconditioner(lin.H_pose, lin.D_flow, lam)
+        dx = core.pcg(lambda v: hvp(v, lam), -lin.g, m_inv, cg_iters)
         T_new = se3.retract(T, dx[:6])
         flows_new = flows + dx[6:].reshape(P, 3)
-        _, chi2_new, _, _, _ = _system(cam, T_new, rest, obs, flows_new, pairs,
-                                       masks, infos, S)
-        denom = jnp.dot(dx, lam * dx - g)
-        rho = (chi2_cur - chi2_new) / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+        lin_new = _system(cam, T_new, rest, obs, flows_new, pairs, masks,
+                          infos, S)
+        denom = jnp.dot(dx, lam * dx - lin.g)
+        rho = (lin.chi2 - lin_new.chi2) / jnp.where(jnp.abs(denom) > 0,
+                                                    denom, 1.0)
         lam, nu, accepted = core.lm_lambda_update(lam, nu, rho)
         Tq = jnp.where(accepted, T_new.q, T.q)
         Tt = jnp.where(accepted, T_new.t, T.t)
         flows = jnp.where(accepted, flows_new, flows)
-        chi2_cur = jnp.where(accepted, chi2_new, chi2_cur)
-        return Tq, Tt, flows, lam, nu, chi2_cur
+        lin = jax.tree.map(partial(jnp.where, accepted), lin_new, lin)
+        return Tq, Tt, flows, lin, lam, nu
 
     Tq, Tt, flows, *_ = jax.lax.fori_loop(
         0, n_iters, body,
-        (Tcw0.q, Tcw0.t, flows0, lam0, jnp.float32(2.0), chi0))
+        (Tcw0.q, Tcw0.t, flows0, lin0, lam0, jnp.float32(2.0)))
     return se3.SE3(Tq, Tt), flows
 
 
@@ -270,22 +309,24 @@ def pose_deformation_optimization(
         # Re-level by chi2 at the optimum (springs stay active; the
         # reference's point-level spatial demotion is overwritten by the
         # per-edge check, g2o_optimization.cc:358-392).
-        _, _, _, _, (chi2_r, chi2_s) = _system(
+        lin = _system(
             cam, T, rest, obs, flows, pairs,
             (point_valid.astype(jnp.float32),
              pair_base.astype(jnp.float32),
              pair_base.astype(jnp.float32)), infos, S)
-        point_mask = (point_valid & (chi2_r <= TH_2DOF)).astype(jnp.float32)
-        spatial_mask = (pair_base & (chi2_s <= TH_3DOF)).astype(jnp.float32)
+        point_mask = (point_valid
+                      & (lin.chi2_r <= TH_2DOF)).astype(jnp.float32)
+        spatial_mask = (pair_base
+                        & (lin.chi2_s <= TH_3DOF)).astype(jnp.float32)
 
     # Post-processing: reprojection gate + IQR deformation-magnitude gate
     # (g2o_optimization.cc:396-455).
-    _, _, _, _, (chi2_r, _) = _system(
+    lin_final = _system(
         cam, T, rest, obs, flows, pairs,
         (point_valid.astype(jnp.float32),
          pair_base.astype(jnp.float32), pair_base.astype(jnp.float32)),
         infos, S)
-    reproj_inlier = point_valid & (chi2_r <= TH_2DOF)
+    reproj_inlier = point_valid & (lin_final.chi2_r <= TH_2DOF)
 
     mag = jnp.linalg.norm(flows, axis=-1)
     iqr_th = stats.iqr_upper_threshold(mag, point_valid)

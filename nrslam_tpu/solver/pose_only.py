@@ -37,26 +37,33 @@ def _pose_system(cam, Tcw, X, obs, w_mask):
 
 
 def _lm_rounds(cam, Tcw0: se3.SE3, X, obs, w_mask, n_iters: int) -> se3.SE3:
-    """n_iters of LM from Tcw0 over the masked edge set."""
+    """n_iters of LM from Tcw0 over the masked edge set.
+
+    The normal equations (H, g) of the CURRENT iterate are carried across
+    iterations: each iteration evaluates the system exactly once (at the
+    trial point, which doubles as the gain-ratio chi2 evaluation), instead
+    of re-linearizing at the accepted point a second time.
+    """
     H0, g0, chi0, _ = _pose_system(cam, Tcw0, X, obs, w_mask)
     lam0 = core.lm_lambda_init(jnp.diagonal(H0))
 
     def body(_, state):
-        T, lam, nu, chi2_cur = state
-        H, g, _, _ = _pose_system(cam, T, X, obs, w_mask)
+        T, H, g, lam, nu, chi2_cur = state
         dx = core.solve_dense(H, g, lam)
         T_new = se3.retract(T, dx)
-        _, _, chi2_new, _ = _pose_system(cam, T_new, X, obs, w_mask)
+        H_new, g_new, chi2_new, _ = _pose_system(cam, T_new, X, obs, w_mask)
         # g2o gain ratio: (chi2_old - chi2_new) / (dx . (lam*dx - g))
         denom = jnp.dot(dx, lam * dx - g)
         rho = (chi2_cur - chi2_new) / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
         lam, nu, accepted = core.lm_lambda_update(lam, nu, rho)
         T = jax.tree.map(lambda a, b: jnp.where(accepted, a, b), T_new, T)
+        H = jnp.where(accepted, H_new, H)
+        g = jnp.where(accepted, g_new, g)
         chi2_cur = jnp.where(accepted, chi2_new, chi2_cur)
-        return T, lam, nu, chi2_cur
+        return T, H, g, lam, nu, chi2_cur
 
     T, *_ = jax.lax.fori_loop(
-        0, n_iters, body, (Tcw0, lam0, jnp.float32(2.0), chi0))
+        0, n_iters, body, (Tcw0, H0, g0, lam0, jnp.float32(2.0), chi0))
     return T
 
 
