@@ -89,24 +89,16 @@ def build_bench_problem(max_points=None, height=None, width=None):
 
 
 def main():
-    from nrslam_tpu.ops import klt
-    from nrslam_tpu.slam import mapping as mapping_mod
-    from nrslam_tpu.slam import tracking as tracking_mod
+    from nrslam_tpu.slam import system as system_mod
 
     state, _, mask, cam, config, raw_frames = build_bench_problem()
-
-    pyr_fn = jax.jit(lambda g: klt.build_pyramid(g, config.klt_config))
 
     def frame_step(state, raw, make_kf):
         # The measured step starts from the raw grayscale frame: pyramid +
         # gradients + tracking + mapping (everything System.track_image does
-        # after initialization).
-        pyramid = pyr_fn(raw)
-        state, res = tracking_mod.process_frame(state, pyramid, mask, cam,
-                                                config, make_keyframe=make_kf)
-        state = mapping_mod.do_mapping(state, cam, config,
-                                       has_new_keyframe=make_kf)
-        return state, res
+        # after initialization), fused into one jitted program (two
+        # specializations: keyframe / not).
+        return system_mod.frame_step(state, raw, mask, cam, config, make_kf)
 
     # Warm-up / compile both specializations.
     s = state

@@ -112,8 +112,16 @@ def _conv_sep(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndarray
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
-    """Gaussian blur ([1,4,6,4,1]/16 separable) then 2x decimation (cv::pyrDown)."""
-    blurred = _conv_sep(img, _PYRDOWN_K, _PYRDOWN_K)
+    """Gaussian blur ([1,4,6,4,1]/16 separable) then 2x decimation (cv::pyrDown).
+
+    The separable blur is fused into ONE 5x5 conv (the outer product of the
+    two 1-D kernels): per-conv dispatch overhead dominates at these image
+    sizes, so fewer/larger convs win on TPU.
+    """
+    k2d = (_PYRDOWN_K[:, None] * _PYRDOWN_K[None, :])
+    x = jnp.pad(img[None, None], ((0, 0), (0, 0), (2, 2), (2, 2)), mode="edge")
+    blurred = jax.lax.conv_general_dilated(
+        x, k2d.reshape(1, 1, 5, 5), (1, 1), "VALID")[0, 0]
     return blurred[::2, ::2]
 
 
@@ -124,12 +132,18 @@ def scharr_gradients(img: jnp.ndarray) -> jnp.ndarray:
     (smoothing [3, 10, 3], difference [-1, 0, 1]) without normalization, so a
     unit intensity ramp produces gradient 32. The KLT kernel relies on this
     exact scaling for its threshold semantics (see ops/klt.py).
+
+    Both derivatives come from ONE two-output-channel 3x3 conv (fewer
+    dispatches than four separable 1-D convs).
     """
     smooth = jnp.array([3.0, 10.0, 3.0], jnp.float32)
     diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
-    gx = _conv_sep(img, smooth, diff)
-    gy = _conv_sep(img, diff, smooth)
-    return jnp.stack([gx, gy], axis=-1)
+    kx = smooth[:, None] * diff[None, :]    # rows smoothed, cols differenced
+    ky = diff[:, None] * smooth[None, :]
+    w = jnp.stack([kx, ky])[:, None]        # [2, 1, 3, 3]
+    x = jnp.pad(img[None, None], ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    g = jax.lax.conv_general_dilated(x, w, (1, 1), "VALID")[0]  # [2, H, W]
+    return jnp.moveaxis(g, 0, -1)
 
 
 def build_pyramid(img: jnp.ndarray, num_levels: int):

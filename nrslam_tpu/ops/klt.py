@@ -364,8 +364,15 @@ def track(pyramid, refs: KLTRefs, seeds: jnp.ndarray, statuses: jnp.ndarray,
         timg = _extract_patches(img, tile_y0, tile_x0, TILE)
         tgrad = _extract_patches(grad, tile_y0, tile_x0, TILE)
 
-        def iter_body(j, carry):
-            pts, prev_delta, done, statuses = carry
+        def iter_cond(carry):
+            # Early exit once every point has converged/failed: identical
+            # results (updates are masked by `done` anyway), far fewer serial
+            # device iterations in the common case.
+            j, pts, prev_delta, done, statuses = carry
+            return (j < config.max_iters) & ~jnp.all(done)
+
+        def iter_body(carry):
+            j, pts, prev_delta, done, statuses = carry
             active = track_this_level & ~done
 
             base_x = jnp.floor(pts[:, 0] - half)
@@ -449,10 +456,11 @@ def track(pyramid, refs: KLTRefs, seeds: jnp.ndarray, statuses: jnp.ndarray,
 
             done = done | out_post | drifted | converged | oscillating
             pts = jnp.where(solve[:, None], new_pts, pts)
-            return pts, delta, done, statuses
+            return j + 1, pts, delta, done, statuses
 
-        init = (pts, jnp.zeros_like(pts), ~track_this_level, statuses)
-        pts, _, _, statuses = jax.lax.fori_loop(0, config.max_iters, iter_body, init)
+        init = (jnp.int32(0), pts, jnp.zeros_like(pts), ~track_this_level,
+                statuses)
+        _, pts, _, _, statuses = jax.lax.while_loop(iter_cond, iter_body, init)
 
         if level > 0:
             pts = pts * 2.0

@@ -36,7 +36,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from nrslam_tpu.geometry import cameras, se3
 from nrslam_tpu.solver import core, residuals
 from nrslam_tpu.solver.bundle_adjustment import (
-    BAProblem, INFO_POSITION, INFO_REPROJECTION, SPRING_K, TH_2DOF, TH_3DOF)
+    BAProblem, INFO_POSITION, INFO_REPROJECTION, SPRING_K, TH_2DOF, TH_3DOF,
+    _block_preconditioner)
 from nrslam_tpu.solver.pose_deformation import scatter_matrices
 
 
@@ -64,11 +65,12 @@ def _system_block(cam, poses, L, obs, obs_mask, spring_mask, damper_int,
     # --- Reprojection (block-local) ---
     e_r, J_pose, J_land = residuals.reprojection(
         cam, jax.tree.map(lambda x: x[:, None], poses), L, obs)
+    e_r = jnp.where(obs_mask[..., None] > 0, e_r, 0.0)  # NaN-safe masking
     chi2_r = INFO_REPROJECTION * jnp.sum(e_r * e_r, axis=-1)
     w_r = INFO_REPROJECTION * core.huber_weight(chi2_r, TH_2DOF) * obs_mask
 
     # --- Springs (block-local, no Huber) ---
-    diff = jnp.einsum("ep,kpl->kel", Sd, L)
+    diff = core.selmm_exact("ep,kpl->kel", Sd, L)
     dist = jnp.linalg.norm(diff, axis=-1)
     safe_d0 = jnp.maximum(pairs.d0, 1e-12)[None]
     e_p = SPRING_K * (dist - pairs.d0[None]) / safe_d0
@@ -80,14 +82,14 @@ def _system_block(cam, poses, L, obs, obs_mask, spring_mask, damper_int,
     # --- Temporal dampers: internal [Kl-1] + boundary halo ---
     L_next0 = jax.lax.ppermute(L[0], "kf", _perm_recv_next(n))  # halo [P, 3]
     dflow_i = L[1:] - L[:-1]
-    ddiff_i = jnp.einsum("ep,kpl->kel", Sd, dflow_i)
+    ddiff_i = core.selmm_exact("ep,kpl->kel", Sd, dflow_i)
     chi2_di = info_s * jnp.sum(
         (pairs.w[None, :, None] * ddiff_i) ** 2, axis=-1)
     w_di = info_s * core.huber_weight(chi2_di, TH_3DOF) * damper_int
     wd2_i = w_di * pairs.w[None] ** 2                            # [Kl-1, E]
 
     dflow_b = L_next0 - L[-1]
-    ddiff_b = jnp.einsum("ep,pl->el", Sd, dflow_b)               # [E, 3]
+    ddiff_b = core.selmm_exact("ep,pl->el", Sd, dflow_b)         # [E, 3]
     chi2_db = info_s * jnp.sum((pairs.w[:, None] * ddiff_b) ** 2, axis=-1)
     w_db = info_s * core.huber_weight(chi2_db, TH_3DOF) * damper_bnd
     wd2_b = w_db * pairs.w ** 2                                  # [E]
@@ -102,13 +104,13 @@ def _system_block(cam, poses, L, obs, obs_mask, spring_mask, damper_int,
     g_pose = jnp.einsum("kpri,kp,kpr->ki", J_pose, w_r, e_r)
     g_land = jnp.einsum("kprl,kp,kpr->kpl", J_land, w_r, e_r)
     gp = (w_p * e_p)[..., None] * a
-    g_land = g_land + jnp.einsum("ep,kel->kpl", Sd, gp)
+    g_land = g_land + core.selmm("ep,kel->kpl", Sd, gp)
     gd_i = wd2_i[..., None] * ddiff_i
-    g_ddiff = jnp.einsum("ep,kel->kpl", Sd, gd_i)
+    g_ddiff = core.selmm("ep,kel->kpl", Sd, gd_i)
     g_land = (g_land.at[:-1].add(-g_ddiff)).at[1:].add(g_ddiff)
     # boundary damper: owning block's last KF gets -, neighbor's first KF +
     gd_b = wd2_b[:, None] * ddiff_b
-    g_pt_b = jnp.einsum("ep,el->pl", Sd, gd_b)                   # [P, 3]
+    g_pt_b = core.selmm("ep,el->pl", Sd, gd_b)                   # [P, 3]
     g_land = g_land.at[-1].add(-g_pt_b)
     g_from_prev = jax.lax.ppermute(g_pt_b, "kf", _perm_send_next(n))
     g_land = g_land.at[0].add(g_from_prev)
@@ -119,11 +121,11 @@ def _system_block(cam, poses, L, obs, obs_mask, spring_mask, damper_int,
     eye3 = jnp.eye(3, dtype=L.dtype)
     both = Si + Sj
     aaT = w_p[..., None, None] * a[..., :, None] * a[..., None, :]
-    D = D + jnp.einsum("ep,kelm->kplm", both, aaT)
-    wd2p_i = jnp.einsum("ep,ke->kp", both, wd2_i)
+    D = D + core.selmm("ep,kelm->kplm", both, aaT)
+    wd2p_i = core.selmm("ep,ke->kp", both, wd2_i)
     D = D.at[:-1].add(wd2p_i[..., None, None] * eye3)
     D = D.at[1:].add(wd2p_i[..., None, None] * eye3)
-    wd2p_b = jnp.einsum("ep,e->p", both, wd2_b)                  # [P]
+    wd2p_b = core.selmm("ep,e->p", both, wd2_b)                  # [P]
     D = D.at[-1].add(wd2p_b[..., None, None] * eye3)
     d_from_prev = jax.lax.ppermute(wd2p_b, "kf", _perm_send_next(n))
     D = D.at[0].add(d_from_prev[..., None, None] * eye3)
@@ -135,18 +137,18 @@ def _system_block(cam, poses, L, obs, obs_mask, spring_mask, damper_int,
                  + jnp.einsum("kprl,kpl->kpr", J_land, vl))
         out_pose = jnp.einsum("kpri,kp,kpr->ki", J_pose, w_r, r_lin)
         out_land = jnp.einsum("kprl,kp,kpr->kpl", J_land, w_r, r_lin)
-        dv = jnp.einsum("ep,kpl->kel", Sd, vl)
+        dv = core.selmm("ep,kpl->kel", Sd, vl)
         pv = (w_p * jnp.einsum("kel,kel->ke", a, dv))[..., None] * a
-        out_land = out_land + jnp.einsum("ep,kel->kpl", Sd, pv)
+        out_land = out_land + core.selmm("ep,kel->kpl", Sd, pv)
         dvf = vl[1:] - vl[:-1]
-        sv = wd2_i[..., None] * jnp.einsum("ep,kpl->kel", Sd, dvf)
-        sv_land = jnp.einsum("ep,kel->kpl", Sd, sv)
+        sv = wd2_i[..., None] * core.selmm("ep,kpl->kel", Sd, dvf)
+        sv_land = core.selmm("ep,kel->kpl", Sd, sv)
         out_land = (out_land.at[:-1].add(-sv_land)).at[1:].add(sv_land)
         # boundary damper halo in the linearized operator
         vl_next0 = jax.lax.ppermute(vl[0], "kf", _perm_recv_next(n))
         dvf_b = vl_next0 - vl[-1]
-        sv_b = wd2_b[:, None] * jnp.einsum("ep,pl->el", Sd, dvf_b)
-        sv_pt = jnp.einsum("ep,el->pl", Sd, sv_b)
+        sv_b = wd2_b[:, None] * core.selmm("ep,pl->el", Sd, dvf_b)
+        sv_pt = core.selmm("ep,el->pl", Sd, sv_b)
         out_land = out_land.at[-1].add(-sv_pt)
         sv_from_prev = jax.lax.ppermute(sv_pt, "kf", _perm_send_next(n))
         out_land = out_land.at[0].add(sv_from_prev)
@@ -154,19 +156,18 @@ def _system_block(cam, poses, L, obs, obs_mask, spring_mask, damper_int,
         return out + lam * v
 
     g = jnp.concatenate([g_pose.reshape(-1), g_land.reshape(-1)])
-    diag = jnp.concatenate([
-        jnp.diagonal(H_pose, axis1=-2, axis2=-1).reshape(-1),
-        jnp.diagonal(D, axis1=-2, axis2=-1).reshape(-1)])
-    return chi2, g, hvp, diag
+    return chi2, g, hvp, (H_pose, D)
 
 
 def _pcg_dist(hvp, b, m_inv, iters, tol=1e-8):
-    """PCG on a kf-distributed vector: local blocks, psum'd dot products."""
+    """PCG on a kf-distributed vector: local blocks, psum'd dot products.
+
+    ``m_inv`` is a callable applying the (block-local) preconditioner."""
     def dot(u, v):
         return jax.lax.psum(jnp.vdot(u, v), "kf")
 
     x0 = jnp.zeros_like(b)
-    z0 = m_inv * b
+    z0 = m_inv(b)
     rz0 = dot(b, z0)
     b2 = dot(b, b)
 
@@ -178,7 +179,7 @@ def _pcg_dist(hvp, b, m_inv, iters, tol=1e-8):
         alpha = jnp.where(done, 0.0, alpha)
         x = x + alpha * p
         r = r - alpha * hp
-        z = m_inv * r
+        z = m_inv(r)
         rz_new = dot(r, z)
         beta = jnp.where(jnp.abs(rz) > 0, rz_new / rz, 0.0)
         p = z + beta * p
@@ -192,7 +193,7 @@ def _pcg_dist(hvp, b, m_inv, iters, tol=1e-8):
 
 def local_deformable_ba_kf_sharded(
         mesh: Mesh, cam: cameras.Camera, poses0: se3.SE3, L0: jnp.ndarray,
-        problem: BAProblem, n_iters: int = 5, cg_iters: int = 48):
+        problem: BAProblem, n_iters: int = 5, cg_iters: int = 32):
     """Keyframe-axis sharded BA solve; same contract as
     bundle_adjustment.local_deformable_ba.
 
@@ -226,13 +227,18 @@ def local_deformable_ba_kf_sharded(
                                  spring, damper_int, damper_bnd, pairs,
                                  info_s, S, n)
 
-        chi0, g0, hvp0, diag0 = system(q, t, L)
+        chi0, g0, hvp0, (H_pose0, D0) = system(q, t, L)
+        diag0 = jnp.concatenate([
+            jnp.diagonal(H_pose0, axis1=-2, axis2=-1).reshape(-1),
+            jnp.diagonal(D0, axis1=-2, axis2=-1).reshape(-1)])
         lam0 = core.LM_TAU * jax.lax.pmax(jnp.max(diag0), "kf")
 
         def body(_, state):
             q, t, L, lam, nu, chi2_cur = state
-            _, g, hvp, diag = system(q, t, L)
-            m_inv = 1.0 / jnp.maximum(diag + lam, 1e-12)
+            _, g, hvp, (H_pose, D) = system(q, t, L)
+            # Block-Jacobi preconditioner: purely block-local, so it shards
+            # along kf with no extra communication.
+            m_inv = _block_preconditioner(H_pose, D, lam)
             dx = _pcg_dist(lambda v: hvp(v, lam), -g, m_inv, cg_iters)
             d_pose = dx[:Kl * 6].reshape(Kl, 6)
             d_land = dx[Kl * 6:].reshape(Kl, Pn, 3)

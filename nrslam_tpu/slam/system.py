@@ -136,6 +136,35 @@ TRACKING = "TRACKING"
 LOST = "LOST"
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cam_kind", "config", "make_keyframe"))
+def _fused_frame_impl(state, gray, mask, cam_params, cam_kind, config,
+                      make_keyframe):
+    """Pyramid + tracking + mapping as ONE XLA program.
+
+    Fusing the whole steady-state frame into a single jit removes two
+    dispatch round-trips per frame and lets XLA overlap the mapping work
+    with the tail of tracking. Two specializations exist (keyframe /
+    non-keyframe), mirroring the reference's host-known cadence
+    (tracking.h:46).
+    """
+    pyramid = klt.build_pyramid(gray, config.klt_config)
+    state, result = tracking_mod._process_frame_impl(
+        state, pyramid, mask, cam_params, cam_kind, config, make_keyframe)
+    state = mapping_mod._mapping_impl(
+        state, cam_params, cam_kind, config, has_new_keyframe=make_keyframe)
+    return state, result
+
+
+def frame_step(state, gray, mask, cam: cameras.Camera, config: Config,
+               make_keyframe: bool):
+    """One fused steady-state SLAM frame (System::TrackImage after init)."""
+    return _fused_frame_impl(state, gray, mask, cam.params, cam.kind, config,
+                             make_keyframe)
+
+
 class System:
     """Stateful driver (host orchestration over jitted device steps)."""
 
@@ -184,21 +213,18 @@ class System:
         if self._image_shape is None:
             self._image_shape = gray.shape
         mask = self._mask(gray)
-        pyramid = klt.build_pyramid(gray, self.config.klt_config)
 
         if self.status == NOT_INITIALIZED:
+            pyramid = klt.build_pyramid(gray, self.config.klt_config)
             self._initialize(pyramid, mask)
             return {"status": self.status}
 
         make_kf = self._frames_since_kf >= self.config.keyframe_every
         self._frames_since_kf = 0 if make_kf else self._frames_since_kf + 1
 
-        self.state, frame_result = tracking_mod.process_frame(
-            self.state, pyramid, mask, self.cam, self.config, make_kf)
-
-        # Mapping runs synchronously after tracking (system.cc:125).
-        self.state = mapping_mod.do_mapping(
-            self.state, self.cam, self.config, has_new_keyframe=make_kf)
+        # Pyramid + tracking + mapping (system.cc:113-132) fused in one jit.
+        self.state, frame_result = frame_step(
+            self.state, gray, mask, self.cam, self.config, make_kf)
         self._made_kf_last_frame = make_kf
 
         n3d = int(frame_result.n_tracked_3d)

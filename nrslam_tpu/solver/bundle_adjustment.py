@@ -75,11 +75,14 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
     # --- Reprojection ---
     e_r, J_pose, J_land = residuals.reprojection(
         cam, jax.tree.map(lambda x: x[:, None], poses), L, problem.obs)
+    # Masked observations may be NaN (invalid keyframe slots); zero them so
+    # the mask multiplication really removes them (NaN * 0 = NaN otherwise).
+    e_r = jnp.where(obs_mask[..., None] > 0, e_r, 0.0)
     chi2_r = INFO_REPROJECTION * jnp.sum(e_r * e_r, axis=-1)
     w_r = INFO_REPROJECTION * core.huber_weight(chi2_r, TH_2DOF) * obs_mask
 
     # --- Springs (no Huber) ---
-    diff = jnp.einsum("ep,kpl->kel", Sd, L)                     # [K, E, 3]
+    diff = core.selmm_exact("ep,kpl->kel", Sd, L)               # [K, E, 3]
     dist = jnp.linalg.norm(diff, axis=-1)
     safe_d0 = jnp.maximum(pairs.d0, 1e-12)[None]
     e_p = SPRING_K * (dist - pairs.d0[None]) / safe_d0
@@ -89,7 +92,7 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
 
     # --- Temporal dampers ---
     dflow = (L[1:] - L[:-1])                                    # [K-1, P, 3]
-    ddiff = jnp.einsum("ep,kpl->kel", Sd, dflow)                # [K-1, E, 3]
+    ddiff = core.selmm_exact("ep,kpl->kel", Sd, dflow)          # [K-1, E, 3]
     e_d = pairs.w[None, :, None] * ddiff
     chi2_d = info_s * jnp.sum(e_d * e_d, axis=-1)
     w_d = info_s * core.huber_weight(chi2_d, TH_3DOF) * damper_mask
@@ -103,10 +106,10 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
     g_pose = jnp.einsum("kpri,kp,kpr->ki", J_pose, w_r, e_r)    # [K, 6]
     g_land = jnp.einsum("kprl,kp,kpr->kpl", J_land, w_r, e_r)   # [K, P, 3]
     gp = (w_p * e_p)[..., None] * a
-    g_land = g_land + jnp.einsum("ep,kel->kpl", Sd, gp)
+    g_land = g_land + core.selmm("ep,kel->kpl", Sd, gp)
     gd = wd2[..., None] * ddiff
     # d(e_d)/dL: cur keyframe gets -, next gets + (per endpoint sign).
-    g_ddiff = jnp.einsum("ep,kel->kpl", Sd, gd)                 # [K-1, P, 3]
+    g_ddiff = core.selmm("ep,kel->kpl", Sd, gd)                 # [K-1, P, 3]
     g_land = (g_land.at[:-1].add(-g_ddiff)).at[1:].add(g_ddiff)
     g = jnp.concatenate([g_pose.reshape(-1), g_land.reshape(-1)])
 
@@ -116,8 +119,8 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
     eye3 = jnp.eye(3, dtype=L.dtype)
     both = Si + Sj
     aaT = w_p[..., None, None] * a[..., :, None] * a[..., None, :]
-    D = D + jnp.einsum("ep,kelm->kplm", both, aaT)
-    wd2p = jnp.einsum("ep,ke->kp", both, wd2)                   # [K-1, P]
+    D = D + core.selmm("ep,kelm->kplm", both, aaT)
+    wd2p = core.selmm("ep,ke->kp", both, wd2)                   # [K-1, P]
     D = D.at[:-1].add(wd2p[..., None, None] * eye3)
     D = D.at[1:].add(wd2p[..., None, None] * eye3)
 
@@ -129,26 +132,45 @@ def _system(cam, poses: se3.SE3, L: jnp.ndarray, problem: BAProblem,
         out_pose = jnp.einsum("kpri,kp,kpr->ki", J_pose, w_r, r_lin)
         out_land = jnp.einsum("kprl,kp,kpr->kpl", J_land, w_r, r_lin)
         # springs
-        dv = jnp.einsum("ep,kpl->kel", Sd, vl)
+        dv = core.selmm("ep,kpl->kel", Sd, vl)
         pv = (w_p * jnp.einsum("kel,kel->ke", a, dv))[..., None] * a
-        out_land = out_land + jnp.einsum("ep,kel->kpl", Sd, pv)
+        out_land = out_land + core.selmm("ep,kel->kpl", Sd, pv)
         # dampers
         dvf = vl[1:] - vl[:-1]
-        sv = wd2[..., None] * jnp.einsum("ep,kpl->kel", Sd, dvf)
-        sv_land = jnp.einsum("ep,kel->kpl", Sd, sv)
+        sv = wd2[..., None] * core.selmm("ep,kpl->kel", Sd, dvf)
+        sv_land = core.selmm("ep,kel->kpl", Sd, sv)
         out_land = (out_land.at[:-1].add(-sv_land)).at[1:].add(sv_land)
         out = jnp.concatenate([out_pose.reshape(-1), out_land.reshape(-1)])
         return out + lam * v
 
-    diag = jnp.concatenate([
-        jnp.diagonal(H_pose, axis1=-2, axis2=-1).reshape(-1),
-        jnp.diagonal(D, axis1=-2, axis2=-1).reshape(-1)])
-    return chi2, g, hvp, diag
+    return chi2, g, hvp, (H_pose, D)
+
+
+def _block_preconditioner(H_pose, D, lam):
+    """Inverse of the (per-KF pose 6x6, per-(KF,landmark) 3x3) blocks + lam*I.
+
+    Block-Jacobi converges in noticeably fewer CG iterations than the scalar
+    diagonal on these reprojection-dominated systems (the 3x3 landmark blocks
+    are strongly anisotropic along the viewing ray).
+    """
+    K, P = D.shape[0], D.shape[1]
+    Hp_inv = jnp.linalg.inv(H_pose + lam * jnp.eye(6, dtype=H_pose.dtype))
+    # Closed-form 3x3 inverse: batched LU (jnp.linalg.inv) is TPU-hostile.
+    D_inv = core.inv3x3(D + lam * jnp.eye(3, dtype=D.dtype))
+
+    def apply(r):
+        rp = r[:K * 6].reshape(K, 6)
+        rl = r[K * 6:].reshape(K, P, 3)
+        zp = jnp.einsum("kij,kj->ki", Hp_inv, rp)
+        zl = jnp.einsum("kplm,kpm->kpl", D_inv, rl)
+        return jnp.concatenate([zp.reshape(-1), zl.reshape(-1)])
+
+    return apply
 
 
 def local_deformable_ba(cam: cameras.Camera, poses0: se3.SE3, L0: jnp.ndarray,
                         problem: BAProblem, n_iters: int = 5,
-                        cg_iters: int = 48):
+                        cg_iters: int = 32):
     """Run the BA window optimization.
 
     Args:
@@ -167,16 +189,19 @@ def local_deformable_ba(cam: cameras.Camera, poses0: se3.SE3, L0: jnp.ndarray,
     spring_mask = spring_mask.astype(jnp.float32)
     damper_mask = damper_mask.astype(jnp.float32)
 
-    chi0, g, hvp, diag = _system(cam, poses0, L0, problem, obs_mask,
-                                 spring_mask, damper_mask, info_s, S)
-    lam0 = core.lm_lambda_init(diag)
+    chi0, g, hvp, (H_pose0, D0) = _system(cam, poses0, L0, problem, obs_mask,
+                                          spring_mask, damper_mask, info_s, S)
+    diag0 = jnp.concatenate([
+        jnp.diagonal(H_pose0, axis1=-2, axis2=-1).reshape(-1),
+        jnp.diagonal(D0, axis1=-2, axis2=-1).reshape(-1)])
+    lam0 = core.lm_lambda_init(diag0)
 
     def body(_, state):
         q, t, L, lam, nu, chi2_cur = state
         poses = se3.SE3(q, t)
-        _, g, hvp, diag = _system(cam, poses, L, problem, obs_mask,
-                                  spring_mask, damper_mask, info_s, S)
-        m_inv = 1.0 / jnp.maximum(diag + lam, 1e-12)
+        _, g, hvp, (H_pose, D) = _system(cam, poses, L, problem, obs_mask,
+                                         spring_mask, damper_mask, info_s, S)
+        m_inv = _block_preconditioner(H_pose, D, lam)
         dx = core.pcg(lambda v: hvp(v, lam), -g, m_inv, cg_iters)
         d_pose = dx[:K * 6].reshape(K, 6)
         d_land = dx[K * 6:].reshape(K, P, 3)

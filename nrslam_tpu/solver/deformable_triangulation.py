@@ -151,25 +151,22 @@ def _assemble(cam, X, inputs: TriangulationInputs, frame_mask, pair_mask,
     g = g + g1 + g2
     g = g.reshape(C, T * 3)
 
-    # Hessian.
-    H = jnp.zeros((C, T, 3, T, 3), X.dtype)
+    # Hessian (assembled scatter-free with identity masks: TPU has no fast
+    # scatter, so diagonal placement is a broadcast-multiply by eye(T)).
+    eyeT = jnp.eye(T, dtype=X.dtype)
     # Reprojection: diagonal blocks J^T w J.
-    Hr = jnp.einsum("ctri,ct,ctrj->ctij", Jr, w_r, Jr)
-    H = H.at[:, jnp.arange(T), :, jnp.arange(T), :].add(jnp.swapaxes(Hr, 0, 1))
+    Hr = jnp.einsum("ctri,ct,ctrj->ctij", Jr, w_r, Jr)      # [C, T, 3, 3]
     # Dampers: w_sum(t1,t2) = sum_nb w_s.
     w_sum = jnp.sum(w_s, axis=3)                            # [C, T, T]
     # Diagonal: X_t1 gets sum_t2 w_sum * I; X_t2 gets sum_t1 w_sum * I.
     diag_w = jnp.sum(w_sum, axis=2) + jnp.sum(w_sum, axis=1)  # [C, T]
     eye = jnp.eye(3, dtype=X.dtype)
-    H = H.at[:, jnp.arange(T), :, jnp.arange(T), :].add(
-        jnp.swapaxes(diag_w[..., None, None] * eye, 0, 1))
-    # Cross blocks: -R_t1^T R_t2 * w_sum(t1,t2) (and transpose).
+    Hdiag = Hr + diag_w[..., None, None] * eye              # [C, T, 3, 3]
+    H = Hdiag[:, :, :, None, :] * eyeT[None, :, None, :, None]
+    # Cross blocks: -R_t1^T R_t2 * w_sum(t1,t2) (and transpose), diag excluded.
     RtR = jnp.einsum("tij,uik->tjuk", Rwc, Rwc)             # [T, 3, T, 3]
-    cross = -(w_sum + jnp.swapaxes(w_sum, 1, 2))[:, :, None, :, None] * RtR[None]
-    # zero out diagonal of cross
-    diag_idx = jnp.arange(T)
-    cross = cross.at[:, diag_idx, :, diag_idx, :].set(0.0)
-    H = H + cross
+    wx = (w_sum + jnp.swapaxes(w_sum, 1, 2)) * (1.0 - eyeT)[None]
+    H = H - wx[:, :, None, :, None] * RtR[None]
 
     return chi2, g, H.reshape(C, T * 3, T * 3), chi2_r, chi2_s
 
@@ -217,15 +214,17 @@ def deformable_triangulate(cam: cameras.Camera, inputs: TriangulationInputs,
                  & tri[None, :, :, None]).astype(jnp.float32)
     frame_mask = inputs.track_valid.astype(jnp.float32)
 
-    chi0, g, H, _, _ = _assemble(cam, X0, inputs, frame_mask, pair_mask,
-                                 flow_obs, Rwc, twc)
-    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    chi0, g0, H0, _, _ = _assemble(cam, X0, inputs, frame_mask, pair_mask,
+                                   flow_obs, Rwc, twc)
+    diag = jnp.diagonal(H0, axis1=-2, axis2=-1)
     lam0 = core.LM_TAU * jnp.max(diag, axis=-1)              # per candidate
 
     def body(_, state):
-        X, lam, nu, chi2_cur = state
-        _, g, H, _, _ = _assemble(cam, X, inputs, frame_mask, pair_mask,
-                                  flow_obs, Rwc, twc)
+        # The linearization (chi2, g, H) of the CURRENT iterate rides the
+        # carry: each iteration assembles the system exactly once — at the
+        # trial point, where it doubles as the gain-ratio chi2 — instead of
+        # re-linearizing the accepted point a second time.
+        X, lam, nu, chi2_cur, g, H = state
         n = H.shape[-1]
         Hd = H + lam[:, None, None] * jnp.eye(n, dtype=H.dtype)[None]
         # H is SPD (Gauss-Newton + LM damping): batched Cholesky beats LU.
@@ -233,17 +232,21 @@ def deformable_triangulate(cam: cameras.Camera, inputs: TriangulationInputs,
         dx = -jax.scipy.linalg.cho_solve((chol, True), g[..., None])[..., 0]
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         X_new = X + dx.reshape(C, T, 3)
-        chi2_new, _, _, _, _ = _assemble(cam, X_new, inputs, frame_mask,
-                                         pair_mask, flow_obs, Rwc, twc)
+        chi2_new, g_new, H_new, _, _ = _assemble(cam, X_new, inputs,
+                                                 frame_mask, pair_mask,
+                                                 flow_obs, Rwc, twc)
         denom = jnp.einsum("ci,ci->c", dx, lam[:, None] * dx - g)
         rho = (chi2_cur - chi2_new) / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
         lam, nu, accepted = core.lm_lambda_update(lam, nu, rho)
         X = jnp.where(accepted[:, None, None], X_new, X)
         chi2_cur = jnp.where(accepted, chi2_new, chi2_cur)
-        return X, lam, nu, chi2_cur
+        g = jnp.where(accepted[:, None], g_new, g)
+        H = jnp.where(accepted[:, None, None], H_new, H)
+        return X, lam, nu, chi2_cur, g, H
 
     X, *_ = jax.lax.fori_loop(
-        0, n_iters, body, (X0, lam0, jnp.full((C,), 2.0, X0.dtype), chi0))
+        0, n_iters, body,
+        (X0, lam0, jnp.full((C,), 2.0, X0.dtype), chi0, g0, H0))
 
     # Acceptance gates (:771-807).
     _, _, _, chi2_r, chi2_s = _assemble(cam, X, inputs, frame_mask,

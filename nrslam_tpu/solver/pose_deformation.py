@@ -81,37 +81,17 @@ def pairs_from_neighbors(nbr_idx: jnp.ndarray, nbr_w: jnp.ndarray,
     return PairEdges(src, dst, w, d0, keep)
 
 
-def _edge_residuals(cam, Tcw, rest, obs, flows, pairs: PairEdges,
-                    info_r, info_s, info_p):
-    """All residuals + per-edge chi2 at the current state."""
-    e_r, J_pose, J_flow = residuals.reprojection(cam, Tcw, rest + flows, obs)
-    chi2_r = info_r * jnp.sum(e_r * e_r, axis=-1)
-
-    fi = flows[pairs.i]
-    fj = flows[pairs.j]
-    e_s = pairs.w[:, None] * (fi - fj)
-    chi2_s = info_s * jnp.sum(e_s * e_s, axis=-1)
-
-    xi = rest[pairs.i] + fi
-    xj = rest[pairs.j] + fj
-    diff = xi - xj
-    dist = jnp.linalg.norm(diff, axis=-1)
-    safe_d0 = jnp.maximum(pairs.d0, 1e-12)
-    e_p = SPRING_K * (dist - pairs.d0) / safe_d0
-    chi2_p = info_p * e_p * e_p
-
-    return (e_r, chi2_r), (e_s, chi2_s), (e_p, chi2_p, diff, dist)
-
-
 def scatter_matrices(pairs: PairEdges, P: int):
-    """Dense one-hot endpoint-selection matrices Si/Sj [E, P].
+    """Dense one-hot endpoint-selection matrices Si/Sj [E, P] in bfloat16.
 
     TPU scatters/gathers are slow; phrasing edge gathers as ``S @ x`` and
     scatter-adds as ``S^T @ y`` turns them into MXU matmuls. E = P*K is a few
-    thousand, so the dense selectors are small.
+    thousand, so the dense selectors are small. 0/1 entries are exact in
+    bfloat16, which halves the selector HBM traffic — the dominant cost of
+    every Hessian-vector product (see :func:`core.selmm`).
     """
-    Si = jax.nn.one_hot(pairs.i, P, dtype=jnp.float32)
-    Sj = jax.nn.one_hot(pairs.j, P, dtype=jnp.float32)
+    Si = jax.nn.one_hot(pairs.i, P, dtype=jnp.bfloat16)
+    Sj = jax.nn.one_hot(pairs.j, P, dtype=jnp.bfloat16)
     return Si, Sj
 
 
@@ -143,8 +123,20 @@ def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos, S):
     Si, Sj = S
     Sd = Si - Sj        # difference operator: Sd @ x = x_i - x_j
 
-    (e_r, chi2_r), (e_s, chi2_s), (e_p, chi2_p, diff, dist) = _edge_residuals(
-        cam, Tcw, rest, obs, flows, pairs, info_r, info_s, info_p)
+    # One reprojection linearization serves residuals AND Jacobian blocks.
+    e_r, J_pose, J_flow = residuals.reprojection(cam, Tcw, rest + flows, obs)
+    chi2_r = info_r * jnp.sum(e_r * e_r, axis=-1)
+
+    # Edge differences as exact selector matmuls (TPU gathers are slow).
+    dflow = core.selmm_exact("ep,pk->ek", Sd, flows)          # f_i - f_j
+    e_s = pairs.w[:, None] * dflow
+    chi2_s = info_s * jnp.sum(e_s * e_s, axis=-1)
+
+    diff = core.selmm_exact("ep,pk->ek", Sd, rest) + dflow
+    dist = jnp.linalg.norm(diff, axis=-1)
+    safe_d0 = jnp.maximum(pairs.d0, 1e-12)
+    e_p = SPRING_K * (dist - pairs.d0) / safe_d0
+    chi2_p = info_p * e_p * e_p
 
     # IRLS weights (info * huber), masked.
     w_r = info_r * core.huber_weight(chi2_r, TH_2DOF) * point_mask
@@ -155,8 +147,6 @@ def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos, S):
                   + jnp.sum(core.huber_rho(chi2_s, TH_3DOF) * spatial_mask)
                   + jnp.sum(core.huber_rho(chi2_p, TH_3DOF) * spring_mask))
 
-    # Jacobian blocks.
-    _, J_pose, J_flow = residuals.reprojection(cam, Tcw, rest + flows, obs)
     ws = pairs.w * pairs.w * w_s                       # [E] spatial gain^2
     safe_dist = jnp.maximum(dist, 1e-12)
     a = (SPRING_K / jnp.maximum(pairs.d0, 1e-12))[:, None] * diff / safe_dist[:, None]
@@ -165,17 +155,17 @@ def _system(cam, Tcw, rest, obs, flows, pairs, masks, infos, S):
     g_pose = jnp.einsum("pri,p,pr->i", J_pose, w_r, e_r)
     g_flow = jnp.einsum("prk,p,pr->pk", J_flow, w_r, e_r)
     gs = (w_s * pairs.w)[:, None] * e_s + (w_p * e_p)[:, None] * a
-    g_flow = g_flow + jnp.einsum("ep,ek->pk", Sd, gs)
+    g_flow = g_flow + core.selmm("ep,ek->pk", Sd, gs)
     g = jnp.concatenate([g_pose, g_flow.reshape(-1)])
 
     # Block-diagonal of H for the preconditioner.
     H_pose = jnp.einsum("pri,p,prj->ij", J_pose, w_r, J_pose)  # [6,6]
     D_flow = jnp.einsum("prk,p,prl->pkl", J_flow, w_r, J_flow)  # [P,3,3]
-    eye3 = jnp.eye(3, dtype=flows.dtype)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
     both = Si + Sj
-    D_flow = D_flow + jnp.einsum("ep,kl->pkl", both * ws[:, None], eye3)
+    D_flow = D_flow + core.selmm("ep,e->p", both, ws)[:, None, None] * eye3
     aaT = w_p[:, None, None] * a[:, :, None] * a[:, None, :]
-    D_flow = D_flow + jnp.einsum("ep,ekl->pkl", both, aaT)
+    D_flow = D_flow + core.selmm("ep,ekl->pkl", both, aaT)
 
     return Linearization(g, chi2_total, H_pose, D_flow, J_pose, J_flow,
                          w_r, ws, w_p, a, chi2_r, chi2_s)
@@ -196,10 +186,10 @@ def _make_hvp(lin: Linearization, S):
         out_pose = jnp.einsum("pri,p,pr->i", lin.J_pose, lin.w_r, r_lin)
         out_flow = jnp.einsum("prk,p,pr->pk", lin.J_flow, lin.w_r, r_lin)
         # Spatial dampers (w^2 I) and springs (rank-1 a a^T) act on vi - vj.
-        dv = jnp.einsum("ep,pk->ek", Sd, vf)
+        dv = core.selmm("ep,pk->ek", Sd, vf)
         ev = (lin.ws[:, None] * dv
               + (lin.w_p * jnp.einsum("ek,ek->e", lin.a, dv))[:, None] * lin.a)
-        out_flow = out_flow + jnp.einsum("ep,ek->pk", Sd, ev)
+        out_flow = out_flow + core.selmm("ep,ek->pk", Sd, ev)
         out = jnp.concatenate([out_pose, out_flow.reshape(-1)])
         return out + lam * v
 
@@ -211,7 +201,7 @@ def _block_preconditioner(H_pose, D_flow, lam):
     P = D_flow.shape[0]
     Hp = H_pose + lam * jnp.eye(6, dtype=H_pose.dtype)
     Df = D_flow + lam * jnp.eye(3, dtype=D_flow.dtype)[None]
-    Df_inv = jnp.linalg.inv(Df)
+    Df_inv = core.inv3x3(Df)      # closed form: batched LU is TPU-hostile
     Hp_inv = jnp.linalg.inv(Hp)
 
     def apply(r):
@@ -242,8 +232,12 @@ def _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos, S, n_iters,
                              jax.vmap(jnp.diagonal)(lin0.D_flow).reshape(-1)])
     lam0 = core.lm_lambda_init(diag0)
 
-    def body(_, state):
-        Tq, Tt, flows, lin, lam, nu = state
+    def cond(state):
+        j, Tq, Tt, flows, lin, lam, nu, done = state
+        return (j < n_iters) & ~done
+
+    def body(state):
+        j, Tq, Tt, flows, lin, lam, nu, done = state
         T = se3.SE3(Tq, Tt)
         hvp = _make_hvp(lin, S)
         m_inv = _block_preconditioner(lin.H_pose, lin.D_flow, lam)
@@ -260,11 +254,15 @@ def _lm_optimize(cam, Tcw0, rest, obs, pairs, masks, infos, S, n_iters,
         Tt = jnp.where(accepted, T_new.t, T.t)
         flows = jnp.where(accepted, flows_new, flows)
         lin = jax.tree.map(partial(jnp.where, accepted), lin_new, lin)
-        return Tq, Tt, flows, lin, lam, nu
+        # Machine-level accepted step => converged (early exit saves the
+        # remaining serial LM+PCG iterations; see pose_only._lm_rounds).
+        done = accepted & (jnp.dot(dx, dx) < 1e-12)
+        return j + 1, Tq, Tt, flows, lin, lam, nu, done
 
-    Tq, Tt, flows, *_ = jax.lax.fori_loop(
-        0, n_iters, body,
-        (Tcw0.q, Tcw0.t, flows0, lin0, lam0, jnp.float32(2.0)))
+    _, Tq, Tt, flows, *_ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), Tcw0.q, Tcw0.t, flows0, lin0, lam0, jnp.float32(2.0),
+         jnp.array(False)))
     return se3.SE3(Tq, Tt), flows
 
 

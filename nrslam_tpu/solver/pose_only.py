@@ -47,8 +47,12 @@ def _lm_rounds(cam, Tcw0: se3.SE3, X, obs, w_mask, n_iters: int) -> se3.SE3:
     H0, g0, chi0, _ = _pose_system(cam, Tcw0, X, obs, w_mask)
     lam0 = core.lm_lambda_init(jnp.diagonal(H0))
 
-    def body(_, state):
-        T, H, g, lam, nu, chi2_cur = state
+    def cond(state):
+        j, T, H, g, lam, nu, chi2_cur, done = state
+        return (j < n_iters) & ~done
+
+    def body(state):
+        j, T, H, g, lam, nu, chi2_cur, done = state
         dx = core.solve_dense(H, g, lam)
         T_new = se3.retract(T, dx)
         H_new, g_new, chi2_new, _ = _pose_system(cam, T_new, X, obs, w_mask)
@@ -60,10 +64,14 @@ def _lm_rounds(cam, Tcw0: se3.SE3, X, obs, w_mask, n_iters: int) -> se3.SE3:
         H = jnp.where(accepted, H_new, H)
         g = jnp.where(accepted, g_new, g)
         chi2_cur = jnp.where(accepted, chi2_new, chi2_cur)
-        return T, H, g, lam, nu, chi2_cur
+        # Converged: an accepted step moved the estimate below machine level
+        # (g2o's optimizer likewise terminates before maxiter on tiny gain).
+        done = accepted & (jnp.dot(dx, dx) < 1e-12)
+        return j + 1, T, H, g, lam, nu, chi2_cur, done
 
-    T, *_ = jax.lax.fori_loop(
-        0, n_iters, body, (Tcw0, H0, g0, lam0, jnp.float32(2.0), chi0))
+    _, T, *_ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), Tcw0, H0, g0, lam0, jnp.float32(2.0),
+                     chi0, jnp.array(False)))
     return T
 
 
