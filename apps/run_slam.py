@@ -41,6 +41,29 @@ def main():
     ap.add_argument("--checkpoint_dir", default="")
     args = ap.parse_args()
 
+    import os
+
+    import jax
+
+    # Honor JAX_PLATFORMS explicitly: the environment's sitecustomize
+    # registers the remote TPU backend and sets jax_platforms
+    # programmatically, which silently overrides the env var — a CLI launched
+    # with JAX_PLATFORMS=cpu would otherwise run through the TPU relay.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+    # Persistent compile cache (shared with bench.py): the remote-TPU compile
+    # relay and the CPU pipeline compiles are both slow; warm reruns matter.
+    cache_dir = str(Path(__file__).resolve().parent.parent / ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from nrslam_tpu.slam import system as system_mod
     from nrslam_tpu.slam.state import Config

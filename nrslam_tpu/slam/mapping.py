@@ -145,13 +145,10 @@ def _deformable_inputs(state: SlamState, config: Config, order, order_valid,
         cand_valid=candidates)
 
 
-def landmark_triangulation(state: SlamState, cam, config: Config) -> SlamState:
-    """Dual-path triangulation with the 1.5x majority vote (mapping.cc:65-257).
-
-    The deformable path is the expensive one (per-candidate dense LM), so
-    candidates are compacted into ``max_triangulation_candidates`` slots
-    before it runs and results scattered back afterwards.
-    """
+def assemble_triangulation_inputs(state: SlamState, config: Config):
+    """Candidate selection + deformable-input assembly (shared with the
+    profiling harness). Returns (candidates [P], compacted inputs [C],
+    cand_sel [C], chronological order, order_valid, buffer poses [T])."""
     last = _last_snapshot_index(state)
     candidates = (state.tb_valid[last]
                   & state.tb_tracked[last] & ~state.tb_with3d[last]
@@ -161,9 +158,6 @@ def landmark_triangulation(state: SlamState, cam, config: Config) -> SlamState:
     candidates = candidates & nbr_ok
 
     order, order_valid = _chronological(state)
-
-    X_rigid, ok_rigid = _rigid_triangulation(state, cam, config, order,
-                                             order_valid, candidates)
     inputs = _deformable_inputs(state, config, order, order_valid, nbr_idx,
                                 nbr_valid, candidates)
     poses = se3.index(state.tb_pose, order)
@@ -172,6 +166,21 @@ def landmark_triangulation(state: SlamState, cam, config: Config) -> SlamState:
     C = min(config.max_triangulation_candidates, candidates.shape[0])
     _, cand_sel = jax.lax.top_k(jnp.where(candidates, 1.0, 0.0), C)
     inputs_c = jax.tree.map(lambda x: x[cand_sel], inputs)
+    return candidates, inputs_c, cand_sel, order, order_valid, poses
+
+
+def landmark_triangulation(state: SlamState, cam, config: Config) -> SlamState:
+    """Dual-path triangulation with the 1.5x majority vote (mapping.cc:65-257).
+
+    The deformable path is the expensive one (per-candidate dense LM), so
+    candidates are compacted into ``max_triangulation_candidates`` slots
+    before it runs and results scattered back afterwards.
+    """
+    (candidates, inputs_c, cand_sel, order, order_valid,
+     poses) = assemble_triangulation_inputs(state, config)
+
+    X_rigid, ok_rigid = _rigid_triangulation(state, cam, config, order,
+                                             order_valid, candidates)
     X_def_c, ok_def_c = dt.deformable_triangulate(cam, inputs_c, poses,
                                                   config.rad_per_pixel)
     P = candidates.shape[0]

@@ -50,6 +50,39 @@ class TimeProfiler:
                         f"sigma {st['sigma_ms']:.3f} ms n={st['count']}\n")
 
 
+def chained_timeit(fn, perturb, n: int = 20, warmup: int = 2) -> float:
+    """Time ``fn`` with a data-dependency chain and a final host fetch.
+
+    On the remote-relay TPU backend, repeated dispatch of the SAME pure
+    computation with unchanged device buffers can be elided (and
+    ``block_until_ready`` returns without the work having run), which makes
+    the classic enqueue-N-then-block timing report dispatch overhead
+    (~0.1 ms) instead of device time. Chaining defeats both effects: each
+    call's input is perturbed by a scalar derived from the previous call's
+    output, so no execution can be skipped or overlapped unfairly, and the
+    final ``np.asarray`` forces real completion.
+
+    Args:
+      fn: callable taking the perturbed input, returning an array/pytree.
+      perturb: callable mapping a scalar eps -> fn's input.
+    Returns mean milliseconds per call.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    for _ in range(warmup):
+        out = fn(perturb(jnp.float32(0.0)))
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    carry = jnp.float32(0.0)
+    for _ in range(n):
+        out = fn(perturb(carry * 1e-12))
+        leaf = jax.tree.leaves(out)[0]
+        carry = jnp.sum(leaf).astype(jnp.float32)
+    np.asarray(carry)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """JAX profiler trace for TPU timeline inspection."""

@@ -3,13 +3,18 @@
 Splits landmark_triangulation into: neighbor query + input assembly,
 rigid path, and the batched deformable LM (by iteration count), so the
 next optimization targets the real cost. Usage: python profile_mapping.py
+[BENCH_POINTS/BENCH_H/BENCH_W env as bench.py]
+
+All timings use utils.profiler.chained_timeit: on the relay-backed TPU,
+un-chained repeated dispatch of identical computations is elided and the
+classic timeit pattern reports ~0.1 ms dispatch overhead instead of device
+time.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -20,23 +25,12 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import bench  # reuse the problem builder
-
-
-def timeit(fn, *args, n=30, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+from nrslam_tpu.utils.profiler import chained_timeit
 
 
 def main():
     from functools import partial
 
-    from nrslam_tpu.geometry import se3
     from nrslam_tpu.ops import klt
     from nrslam_tpu.slam import mapping as mapping_mod
     from nrslam_tpu.slam import tracking as tracking_mod
@@ -55,39 +49,27 @@ def main():
     results = {}
 
     # Full triangulation mapping step (reference point).
-    results["mapping_triangulate"] = timeit(
-        lambda: mapping_mod.do_mapping(s, cam, config,
-                                       has_new_keyframe=False).positions)
+    map_fn = jax.jit(lambda st: mapping_mod.do_mapping(
+        st, cam, config, has_new_keyframe=False).positions)
+    results["mapping_triangulate"] = chained_timeit(
+        map_fn, lambda eps: s._replace(positions=s.positions + eps))
 
-    # Assemble the deformable inputs once (mirrors landmark_triangulation).
-    @jax.jit
-    def build_inputs(s):
-        last = mapping_mod._last_snapshot_index(s)
-        candidates = (s.tb_valid[last]
-                      & s.tb_tracked[last] & ~s.tb_with3d[last]
-                      & s.slot_used & ~s.has_3d)
-        nbr_idx, nbr_valid, nbr_ok = mapping_mod._closest_mapped_neighbors(
-            s, config)
-        candidates = candidates & nbr_ok
-        order, order_valid = mapping_mod._chronological(s)
-        inputs = mapping_mod._deformable_inputs(
-            s, config, order, order_valid, nbr_idx, nbr_valid, candidates)
-        poses = se3.index(s.tb_pose, order)
-        C = min(config.max_triangulation_candidates, candidates.shape[0])
-        _, cand_sel = jax.lax.top_k(jnp.where(candidates, 1.0, 0.0), C)
-        inputs_c = jax.tree.map(lambda x: x[cand_sel], inputs)
-        return inputs_c, poses
+    # Candidate selection + deformable-input assembly (the exact block the
+    # pipeline runs — mapping_mod.assemble_triangulation_inputs).
+    assemble = jax.jit(partial(mapping_mod.assemble_triangulation_inputs,
+                               config=config))
+    results["input_assembly"] = chained_timeit(
+        lambda st: assemble(st)[1].obs,
+        lambda eps: s._replace(positions=s.positions + eps))
 
-    results["input_assembly"] = timeit(
-        lambda: jax.tree.leaves(build_inputs(s))[0])
-    inputs_c, poses = build_inputs(s)
+    _, inputs_c, _, _, _, poses = assemble(s)
     jax.block_until_ready(inputs_c.obs)
 
     for n_it in (0, 1, 5, 10):
-        f = jax.jit(partial(dt.deformable_triangulate, n_iters=n_it),
-                    static_argnames=("n_iters",))
-        results[f"deformable_lm_{n_it}it"] = timeit(
-            lambda f=f: f(cam, inputs_c, poses, config.rad_per_pixel)[0])
+        f = jax.jit(partial(dt.deformable_triangulate, n_iters=n_it))
+        results[f"deformable_lm_{n_it}it"] = chained_timeit(
+            lambda ins, f=f: f(cam, ins, poses, config.rad_per_pixel)[0],
+            lambda eps: inputs_c._replace(obs=inputs_c.obs + eps))
 
     print(json.dumps({k: round(v, 3) for k, v in results.items()}, indent=1))
 
