@@ -114,15 +114,20 @@ def _conv_sep(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndarray
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """Gaussian blur ([1,4,6,4,1]/16 separable) then 2x decimation (cv::pyrDown).
 
-    The separable blur is fused into ONE 5x5 conv (the outer product of the
-    two 1-D kernels): per-conv dispatch overhead dominates at these image
-    sizes, so fewer/larger convs win on TPU.
+    Written as shifted-slice arithmetic rather than lax.conv: at these image
+    sizes the conv path pays layout-transform + dispatch overhead per call,
+    while the slice form fuses into a couple of elementwise VPU kernels.
+    Rows are decimated between the two 1-D passes (decimation along one axis
+    commutes with blurring along the other), halving the column-pass work.
     """
-    k2d = (_PYRDOWN_K[:, None] * _PYRDOWN_K[None, :])
-    x = jnp.pad(img[None, None], ((0, 0), (0, 0), (2, 2), (2, 2)), mode="edge")
-    blurred = jax.lax.conv_general_dilated(
-        x, k2d.reshape(1, 1, 5, 5), (1, 1), "VALID")[0, 0]
-    return blurred[::2, ::2]
+    k = _PYRDOWN_K
+    x = jnp.pad(img, ((2, 2), (2, 2)), mode="edge")
+    r = (k[0] * x[:-4] + k[1] * x[1:-3] + k[2] * x[2:-2]
+         + k[3] * x[3:-1] + k[4] * x[4:])          # vertical blur [H, W+4]
+    r = r[::2]                                      # decimate rows first
+    b = (k[0] * r[:, :-4] + k[1] * r[:, 1:-3] + k[2] * r[:, 2:-2]
+         + k[3] * r[:, 3:-1] + k[4] * r[:, 4:])    # horizontal blur
+    return b[:, ::2]
 
 
 def scharr_gradients(img: jnp.ndarray) -> jnp.ndarray:
@@ -133,17 +138,15 @@ def scharr_gradients(img: jnp.ndarray) -> jnp.ndarray:
     unit intensity ramp produces gradient 32. The KLT kernel relies on this
     exact scaling for its threshold semantics (see ops/klt.py).
 
-    Both derivatives come from ONE two-output-channel 3x3 conv (fewer
-    dispatches than four separable 1-D convs).
+    Shifted-slice stencils (see pyr_down) — both derivatives fuse into one
+    elementwise kernel over the padded image.
     """
-    smooth = jnp.array([3.0, 10.0, 3.0], jnp.float32)
-    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
-    kx = smooth[:, None] * diff[None, :]    # rows smoothed, cols differenced
-    ky = diff[:, None] * smooth[None, :]
-    w = jnp.stack([kx, ky])[:, None]        # [2, 1, 3, 3]
-    x = jnp.pad(img[None, None], ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
-    g = jax.lax.conv_general_dilated(x, w, (1, 1), "VALID")[0]  # [2, H, W]
-    return jnp.moveaxis(g, 0, -1)
+    x = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    dx = x[:, 2:] - x[:, :-2]                       # [H+2, W]
+    gx = 3.0 * dx[:-2] + 10.0 * dx[1:-1] + 3.0 * dx[2:]
+    dy = x[2:, :] - x[:-2, :]                       # [H, W+2]
+    gy = 3.0 * dy[:, :-2] + 10.0 * dy[:, 1:-1] + 3.0 * dy[:, 2:]
+    return jnp.stack([gx, gy], axis=-1)
 
 
 def build_pyramid(img: jnp.ndarray, num_levels: int):

@@ -3,14 +3,20 @@
 The signature hand-written kernel of the framework (SURVEY.md §3.5 hot-loop
 #1): for one pyramid level, every point runs its full flow iteration
 (sample window -> gain/bias -> 2x2 normal equations -> update -> gates)
-inside a single kernel program, with the point's image neighborhood DMA'd
-from HBM into VMEM exactly once.
+inside a single kernel program. The per-point image neighborhood arrives as
+a pre-extracted [TILE_R, TILE_C] tile (the wrapper extracts tiles with the
+same one-hot MXU matmuls as the XLA path), so the kernel contains no DMA
+and no dynamic-slice alignment hazards — v1 DMA'd the tile from the level
+image in HBM, which Mosaic rejects when the level image lands in VMEM
+(dynamic slice offsets must be divisible by the (8, 128) tiling).
 
-Why this shape: the drift clamp bounds every sampled position to <= 10 px
-from the level start (lucas_kanade_tracker.cc:444-450), so a 48 x 128 tile
-per point covers the entire iteration range. Window alignment against the
-reference patch uses dynamic circular rolls (cheap VPU data movement) and
-masked reductions — no gathers and no per-iteration HBM traffic.
+Why one kernel per level wins: the XLA path runs the flow iteration as a
+`lax.while_loop` of ~15 small ops per trip — tens of serial dispatches per
+level. Here the whole iteration runs on VMEM-resident tiles in one program
+launch per level.
+
+Window alignment against the reference patch uses dynamic circular rolls
+(cheap VPU data movement) and masked reductions.
 
 The JAX wrapper (ops/klt.py) keeps the level pyramid loop, the status
 bookkeeping and the SSIM gate; this kernel returns final positions plus an
@@ -42,19 +48,14 @@ FLT_SCALE = 1.0 / (1 << 20)
 IVAL_SCALE = 32.0
 
 
-def _masked_sum(x, mask):
-    return jnp.sum(jnp.where(mask, x, 0.0))
-
-
 def _level_kernel(
         # scalar prefetch (SMEM)
         pts_ref, active_ref, mean_i_ref, mean_i2_ref, hw_ref,
-        # blocked inputs
-        img_hbm, gx_hbm, gy_hbm, patch_ref, pgx_ref, pgy_ref,
+        tile_x0_ref, tile_y0_ref,
+        # blocked inputs (VMEM, one [TILE_R, TILE_C] tile per point)
+        timg_ref, tgx_ref, tgy_ref, patch_ref, pgx_ref, pgy_ref,
         # outputs
         out_pts_ref, out_event_ref,
-        # scratch
-        timg, tgx, tgy, sems,
         *, win: int, max_iters: int, epsilon: float, min_eig_threshold: float):
     p = pl.program_id(0)
     h = hw_ref[0]
@@ -66,25 +67,9 @@ def _level_kernel(
     px = pts_ref[p, 0]
     py = pts_ref[p, 1]
     active = active_ref[p] != 0
+    x0 = tile_x0_ref[p]
+    y0 = tile_y0_ref[p]
 
-    # --- Tile origin (clamped to the image) + DMA ---
-    margin = (TILE_R - (win + 1)) // 2
-    x0 = jnp.clip(jnp.floor(px - half).astype(jnp.int32) - margin, 0,
-                  jnp.maximum(w - TILE_C, 0))
-    y0 = jnp.clip(jnp.floor(py - half).astype(jnp.int32) - margin, 0,
-                  jnp.maximum(h - TILE_R, 0))
-
-    cp_img = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(y0, TILE_R), pl.ds(x0, TILE_C)], timg, sems.at[0])
-    cp_gx = pltpu.make_async_copy(
-        gx_hbm.at[pl.ds(y0, TILE_R), pl.ds(x0, TILE_C)], tgx, sems.at[1])
-    cp_gy = pltpu.make_async_copy(
-        gy_hbm.at[pl.ds(y0, TILE_R), pl.ds(x0, TILE_C)], tgy, sems.at[2])
-    cp_img.start()
-    cp_gx.start()
-    cp_gy.start()
-
-    # Reference windows, zero-padded into tile-shaped layouts at the origin.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 1)
     win_mask = (row_ids < win) & (col_ids < win)
@@ -92,13 +77,9 @@ def _level_kernel(
     mean_i = mean_i_ref[p]
     mean_i2 = mean_i2_ref[p]
 
-    cp_img.wait()
-    cp_gx.wait()
-    cp_gy.wait()
-
-    T = timg[:] * IVAL_SCALE
-    GX = tgx[:]
-    GY = tgy[:]
+    T = timg_ref[0] * IVAL_SCALE
+    GX = tgx_ref[0]
+    GY = tgy_ref[0]
 
     def shift1(a, axis):
         return pltpu.roll(a, TILE_R - 1 if axis == 0 else TILE_C - 1, axis)
@@ -229,8 +210,31 @@ def track_level(img, gx, gy, patch, patch_gx, patch_gy, pts, active,
 
     Returns (pts [P, 2], event [P] int32) — see module docstring for codes.
     """
+    from nrslam_tpu.ops import klt as klt_mod
+
     P = pts.shape[0]
-    hw = jnp.array([img.shape[0], img.shape[1]], jnp.int32)
+    h, w = img.shape
+    hw = jnp.array([h, w], jnp.int32)
+
+    # Per-point tiles covering the whole iteration range (drift clamp bounds
+    # every sampled position to <= 10 px from the level start): extracted
+    # with the same one-hot MXU matmuls as the XLA path, at the level start.
+    half = (win - 1) * 0.5
+    margin = (TILE_R - (win + 1)) // 2
+    tile_x0 = jnp.floor(pts[:, 0] - half).astype(jnp.int32) - margin
+    tile_y0 = jnp.floor(pts[:, 1] - half).astype(jnp.int32) - margin
+    rows = jnp.clip(tile_y0[:, None] + jnp.arange(TILE_R), 0, h - 1)
+    cols = jnp.clip(tile_x0[:, None] + jnp.arange(TILE_C), 0, w - 1)
+    R = jax.nn.one_hot(rows, h, dtype=jnp.float32)        # [P, TR, H]
+    C = jax.nn.one_hot(cols, w, dtype=jnp.float32)        # [P, TC, W]
+
+    def extract(a):
+        rowsel = jnp.einsum("prh,hw->prw", R, a)
+        return jnp.einsum("prw,pcw->prc", rowsel, C)
+
+    timg = extract(img)
+    tgx = extract(gx)
+    tgy = extract(gy)
 
     # Zero-pad the reference windows to the tile layout (one pad per level).
     def pad(a):
@@ -240,31 +244,17 @@ def track_level(img, gx, gy, patch, patch_gx, patch_gy, pts, active,
     patch_gx = pad(patch_gx)
     patch_gy = pad(patch_gy)
 
+    tile_spec = pl.BlockSpec((1, TILE_R, TILE_C), lambda p, *_: (p, 0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(P,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # img
-            pl.BlockSpec(memory_space=pltpu.ANY),   # gx
-            pl.BlockSpec(memory_space=pltpu.ANY),   # gy
-            pl.BlockSpec((1, TILE_R, TILE_C), lambda p, *_: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R, TILE_C), lambda p, *_: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R, TILE_C), lambda p, *_: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[tile_spec] * 6,
         out_specs=[
             # Whole-array SMEM outputs; each program writes its own slot
             # (small per-point blocks violate the (8, 128) tiling rule).
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((TILE_R, TILE_C), jnp.float32),
-            pltpu.VMEM((TILE_R, TILE_C), jnp.float32),
-            pltpu.VMEM((TILE_R, TILE_C), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
@@ -281,5 +271,6 @@ def track_level(img, gx, gy, patch, patch_gx, patch_gy, pts, active,
         ],
         interpret=interpret,
     )(pts, active.astype(jnp.int32), mean_i, mean_i2, hw,
-      img, gx, gy, patch, patch_gx, patch_gy)
+      tile_x0, tile_y0,
+      timg, tgx, tgy, patch, patch_gx, patch_gy)
     return out_pts, out_event

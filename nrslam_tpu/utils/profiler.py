@@ -83,6 +83,33 @@ def chained_timeit(fn, perturb, n: int = 20, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def device_timeit(step, carry0, k: int = 8, reps: int = 3) -> float:
+    """Pure device-time per call: K chained repetitions inside ONE jit.
+
+    ``chained_timeit`` pays the full host->relay->device dispatch round trip
+    per call, which on a remote-relay backend can be tens of ms and swamps
+    small stages. Running ``step`` K times inside a single ``fori_loop``
+    amortizes that to one dispatch per K calls, so the returned figure is the
+    device execution time of the stage (plus 1/K of the round trip).
+
+    ``step`` must map a carry pytree to a same-structured carry whose leaves
+    depend on the previous output (so XLA cannot hoist the body out of the
+    loop). Returns best-of-``reps`` mean milliseconds per call.
+    """
+    import jax
+
+    f = jax.jit(lambda c: jax.lax.fori_loop(0, k, lambda i, cc: step(cc), c))
+    c = f(carry0)
+    jax.block_until_ready(jax.tree.leaves(c)[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        c = f(c)
+        jax.block_until_ready(jax.tree.leaves(c)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / k * 1e3
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """JAX profiler trace for TPU timeline inspection."""

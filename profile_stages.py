@@ -91,7 +91,7 @@ def main():
             weight=s.graph.weight + eps))
 
     reuse_fn = jax.jit(lambda st: tracking_mod.point_reuse(
-        st, pyr, cam, config, None)[0].keypoints)
+        st, pyr, cam, config, None).keypoints)
     results["point_reuse"] = chained_timeit(
         reuse_fn, lambda eps: s._replace(positions=s.positions + eps))
 
