@@ -36,6 +36,21 @@ def force_selmm_f32(value: bool = True) -> None:
     _FORCE_SELMM_F32 = value
 
 
+def selmm_f32_forced() -> bool:
+    """True when computations are CPU-placed inside a TPU-default process
+    (set by dryrun_multichip) — also the signal that Pallas TPU kernels must
+    not be used."""
+    return _FORCE_SELMM_F32
+
+
+def use_pallas_kernels() -> bool:
+    """Default auto-selection for the whole-solver Pallas kernels: on for a
+    real TPU backend, off on CPU (tests, virtual meshes) and off when work
+    is CPU-placed inside a TPU-default process (dryrun_multichip)."""
+    import jax
+    return jax.default_backend() == "tpu" and not _FORCE_SELMM_F32
+
+
 def selmm(spec: str, S: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Edge-selector einsum on the MXU in bfloat16 with f32 accumulation.
 

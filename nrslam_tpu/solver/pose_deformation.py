@@ -274,6 +274,36 @@ class PoseDeformationResult(NamedTuple):
     median_deformation: jnp.ndarray  # scalar median |flow|
 
 
+# Solver backend (see pose_only.py): "auto" uses the whole-schedule Pallas
+# kernel (pose_deformation_pallas.py) on a real TPU backend.
+_BACKEND = "auto"
+
+
+def set_backend(mode: str) -> None:
+    global _BACKEND
+    assert mode in ("auto", "xla", "pallas")
+    _BACKEND = mode
+
+
+def _use_pallas() -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND == "pallas":
+        return True
+    return core.use_pallas_kernels()
+
+
+def _post_gates(flows, chi2_r, point_valid):
+    """Shared post-processing: reprojection gate + IQR deformation gate +
+    median magnitude (g2o_optimization.cc:396-455)."""
+    reproj_inlier = point_valid & (chi2_r <= TH_2DOF)
+    mag = jnp.linalg.norm(flows, axis=-1)
+    iqr_th = stats.iqr_upper_threshold(mag, point_valid)
+    deform_ok = point_valid & (mag < iqr_th)
+    median_def = stats.masked_median(mag, point_valid)
+    return reproj_inlier, deform_ok, median_def
+
+
 def pose_deformation_optimization(
         cam: cameras.Camera, Tcw0: se3.SE3, rest: jnp.ndarray,
         obs: jnp.ndarray, point_valid: jnp.ndarray, pairs: PairEdges,
@@ -291,6 +321,17 @@ def pose_deformation_optimization(
         ratio re-validates every inexact step), at ~20% less frame time; 8
         under-resolves the weakly-observable depth axis of the flows.
     """
+    if _use_pallas():
+        from nrslam_tpu.solver.pose_deformation_pallas import (
+            pose_deformation_optimization_pallas)
+        T, flows, chi2_r = pose_deformation_optimization_pallas(
+            cam, Tcw0, rest, obs, point_valid, pairs, scale, rounds,
+            cg_iters)
+        reproj_inlier, deform_ok, median_def = _post_gates(
+            flows, chi2_r, point_valid)
+        return PoseDeformationResult(T, flows, reproj_inlier, deform_ok,
+                                     median_def)
+
     info_r = 1.0 / SIGMA_REPROJECTION ** 2
     info_p = 1.0 / SIGMA_POSITION ** 2
     sigma_s = 0.1 * scale
@@ -328,13 +369,8 @@ def pose_deformation_optimization(
         (point_valid.astype(jnp.float32),
          pair_base.astype(jnp.float32), pair_base.astype(jnp.float32)),
         infos, S)
-    reproj_inlier = point_valid & (lin_final.chi2_r <= TH_2DOF)
-
-    mag = jnp.linalg.norm(flows, axis=-1)
-    iqr_th = stats.iqr_upper_threshold(mag, point_valid)
-    deform_ok = point_valid & (mag < iqr_th)
-    median_def = stats.masked_median(mag, point_valid)
-
+    reproj_inlier, deform_ok, median_def = _post_gates(
+        flows, lin_final.chi2_r, point_valid)
     return PoseDeformationResult(T, flows, reproj_inlier, deform_ok, median_def)
 
 

@@ -50,6 +50,14 @@ def main():
 
     results = {}
 
+    # Null-step calibration: the relay adds a variable per-dispatch floor
+    # (observed anywhere from ~0.06 ms to ~26 ms per dispatch depending on
+    # process/relay state). Each k-rep loop pays it once, so the per-call
+    # floor is RTT/k; report it so stage figures can be read as
+    # (value - null) ~= true device time.
+    results["null_step"] = device_timeit(lambda g: g * 1.000001 + 1e-9,
+                                         raw_frames[4])
+
     def consume(*arrays):
         """Tiny data-dependent scalar so XLA cannot DCE any stage output."""
         return sum(jnp.sum(a.astype(jnp.float32)) * 1e-30 for a in arrays)
