@@ -210,8 +210,6 @@ def track_level(img, gx, gy, patch, patch_gx, patch_gy, pts, active,
 
     Returns (pts [P, 2], event [P] int32) — see module docstring for codes.
     """
-    from nrslam_tpu.ops import klt as klt_mod
-
     P = pts.shape[0]
     h, w = img.shape
     hw = jnp.array([h, w], jnp.int32)

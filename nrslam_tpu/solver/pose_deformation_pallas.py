@@ -192,7 +192,10 @@ def _joint_kernel(par_ref, rest_ref, obs_ref, pmask_ref, pair_ref,
         g_pose = tuple(jnp.sum(w_r * (Jpu[c] * e_u + Jpv[c] * e_v))
                        for c in range(6))
         gf = [w_r * (Jfu[c] * e_u + Jfv[c] * e_v) for c in range(3)]
-        wse = w_s * pw
+        # Spatial gradient coefficient on dflow is w_s * pw^2 (the XLA
+        # driver's (w_s*pw) e_s with e_s = pw*dflow) — i.e. exactly `ws`,
+        # keeping gradient and Hv operator consistent.
+        wse = ws
         wpe = w_p * e_p
         gs8 = jnp.concatenate(
             [wse * df0 + wpe * a0, wse * df1 + wpe * a1,
@@ -420,11 +423,23 @@ def pose_deformation_optimization_pallas(
     pair_base_full = pairs.valid & point_valid[pairs.i] & point_valid[pairs.j]
     E_raw = pairs.i.shape[0]
     budget = min(((E_raw + 127) // 128) * 128, ((8 * P + 127) // 128) * 128)
+    # top_k's k may not exceed the table length (small maps / small K can
+    # leave E_raw below the lane-aligned budget); select min(E_raw, budget)
+    # edges and pad the rest with invalid entries.
+    k_sel = min(E_raw, budget)
     score = jnp.where(pair_base_full, pairs.w, -jnp.inf)
-    _, esel = jax.lax.top_k(score, budget)
+    _, esel = jax.lax.top_k(score, k_sel)
+
+    def _pad(x, fill):
+        if k_sel < budget:
+            pad = jnp.full((budget - k_sel,), fill, x.dtype)
+            return jnp.concatenate([x, pad])
+        return x
+
     pairs = pairs._replace(
-        i=pairs.i[esel], j=pairs.j[esel], w=pairs.w[esel], d0=pairs.d0[esel],
-        valid=pair_base_full[esel])
+        i=_pad(pairs.i[esel], 0), j=_pad(pairs.j[esel], 0),
+        w=_pad(pairs.w[esel], 0.0), d0=_pad(pairs.d0[esel], 1.0),
+        valid=_pad(pair_base_full[esel], False))
     E = budget
     Ep = budget
 
@@ -468,13 +483,15 @@ def pose_deformation_optimization_pallas(
     Sd = (Si - Sj).astype(sel_dtype)
     Babs = (Si + Sj).astype(sel_dtype)
 
+    from nrslam_tpu.solver.pose_deformation import (SIGMA_POSITION,
+                                                    SIGMA_REPROJECTION)
     params = jnp.zeros(18, jnp.float32)
     params = params.at[:cam.params.shape[0]].set(cam.params)
     params = params.at[8:12].set(Tcw0.q)
     params = params.at[12:15].set(Tcw0.t)
-    params = params.at[15].set(1.0 / 0.5 ** 2)       # info_r
+    params = params.at[15].set(1.0 / SIGMA_REPROJECTION ** 2)  # info_r
     params = params.at[16].set(info_s)
-    params = params.at[17].set(1.0 / 0.1 ** 2)       # info_p
+    params = params.at[17].set(1.0 / SIGMA_POSITION ** 2)      # info_p
 
     kernel = functools.partial(
         _joint_kernel, kind=cam.kind, rounds=tuple(rounds),

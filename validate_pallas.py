@@ -1,15 +1,25 @@
-"""On-chip validation of the Pallas KLT level kernel vs the XLA path.
+"""On-chip validation of every Pallas kernel vs the XLA path.
 
-Round-1 note: the kernel passes interpret-mode parity tests but its first
-on-chip run coincided with a backend wedge, so it ships opt-in
-(KLTConfig.use_pallas=False). This script runs it for real, in an isolated
-process, and compares against the XLA one-hot-matmul path point by point.
+Covers (select with --what, default all):
+- ``klt``: the Pallas KLT level kernel vs the one-hot-matmul XLA tracker
+  (ops/klt_pallas.py vs ops/klt.py).
+- ``pose``: the whole-solver pose-only LM kernel
+  (solver/pose_only_pallas.py vs solver/pose_only.py) — the
+  CameraPoseOptimization semantics, g2o_optimization.cc:50-146.
+- ``joint``: the whole-solver joint pose+deformation kernel
+  (solver/pose_deformation_pallas.py vs solver/pose_deformation.py) —
+  CameraPoseAndDeformationOptimization, g2o_optimization.cc:148-557. This
+  is the default-on TPU path behind the bench number, so "PALLAS OK" here
+  is what makes the fps trustworthy.
 
-Exit code 0 + "PALLAS OK" means the kernel is safe to enable on this backend.
+Each check runs both paths ON THE REAL BACKEND (interpret-mode parity lives
+in tests/), compares results, and times warm steady-state. Exit 0 + a final
+"PALLAS OK" line means every requested kernel is safe on this backend.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -25,11 +35,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 
-def main():
+def _timeit(fn, n=20):
+    jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def check_klt():
     from nrslam_tpu.datasets import synthetic
     from nrslam_tpu.ops import klt
-
-    print("backend:", jax.default_backend(), jax.devices()[:1], flush=True)
 
     scene = synthetic.SceneConfig(height=240, width=320, deform_amp=0.02)
     gray0, _, _ = synthetic.render_frame(0, scene)
@@ -50,47 +67,201 @@ def main():
     refs = klt.set_reference(pyr0, uv, valid, cfg_x)
     status0 = jnp.zeros(P, jnp.int32)
 
-    t0 = time.perf_counter()
-    pts_x, st_x = jax.jit(lambda: klt.track(
-        pyr1, refs, uv, status0, cfg_x, min_ssim=0.7))()
-    jax.block_until_ready(pts_x)
-    print(f"xla path compiled+ran in {time.perf_counter()-t0:.1f}s", flush=True)
-
-    t0 = time.perf_counter()
-    pts_p, st_p = jax.jit(lambda: klt.track(
-        pyr1, refs, uv, status0, cfg_p, min_ssim=0.7))()
-    jax.block_until_ready(pts_p)
-    print(f"pallas path compiled+ran in {time.perf_counter()-t0:.1f}s",
-          flush=True)
-
-    # timing (warm)
     fx = jax.jit(lambda s: klt.track(pyr1, refs, uv, s, cfg_x, min_ssim=0.7))
     fp = jax.jit(lambda s: klt.track(pyr1, refs, uv, s, cfg_p, min_ssim=0.7))
-    for f, name in [(fx, "xla"), (fp, "pallas")]:
-        jax.block_until_ready(f(status0))
-        t0 = time.perf_counter()
-        for _ in range(20):
-            out = f(status0)
-        jax.block_until_ready(out)
-        print(f"{name}: {(time.perf_counter()-t0)/20*1e3:.2f} ms", flush=True)
+    pts_x, st_x = fx(status0)
+    pts_p, st_p = fp(status0)
+    ms_x = _timeit(lambda: fx(status0))
+    ms_p = _timeit(lambda: fp(status0))
+    print(f"klt: xla {ms_x:.2f} ms  pallas {ms_p:.2f} ms", flush=True)
 
-    pts_x = np.asarray(pts_x)
-    pts_p = np.asarray(pts_p)
-    st_x = np.asarray(st_x)
-    st_p = np.asarray(st_p)
+    pts_x, pts_p = np.asarray(pts_x), np.asarray(pts_p)
+    st_x, st_p = np.asarray(st_x), np.asarray(st_p)
     ok_both = (st_x <= 2) & (st_p <= 2)
     d = np.linalg.norm(pts_x - pts_p, axis=-1)
     agree = (st_x == st_p).mean()
-    print(f"status agreement: {agree:.3f}")
-    print(f"tracked-by-both: {ok_both.sum()}/{P}")
+    print(f"klt: status agreement {agree:.3f}, tracked-by-both "
+          f"{ok_both.sum()}/{P}", flush=True)
     if ok_both.sum():
-        print(f"pos diff px: median {np.median(d[ok_both]):.4f} "
-              f"p95 {np.percentile(d[ok_both], 95):.4f} "
-              f"max {d[ok_both].max():.4f}")
+        print(f"klt: pos diff px median {np.median(d[ok_both]):.4f} "
+              f"p95 {np.percentile(d[ok_both], 95):.4f}", flush=True)
     ok = (agree > 0.9 and ok_both.sum() > 0.7 * P
-          and np.median(d[ok_both]) < 0.1 and np.percentile(d[ok_both], 95) < 1.0)
-    print("PALLAS OK" if ok else "PALLAS MISMATCH")
-    sys.exit(0 if ok else 1)
+          and np.median(d[ok_both]) < 0.1
+          and np.percentile(d[ok_both], 95) < 1.0)
+    return ok, {"xla_ms": ms_x, "pallas_ms": ms_p}
+
+
+def _solver_problem(P=384, seed=0, deform_amp=0.04, n_outliers=10, knn=10):
+    from nrslam_tpu.geometry import cameras, se3
+    from nrslam_tpu.solver import pose_deformation as pd
+
+    cam = cameras.pinhole(472.65, 472.65, 479.5, 359.5)
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 4)
+    X = jnp.stack([
+        jax.random.uniform(ks[0], (P,), minval=-1.2, maxval=1.2),
+        jax.random.uniform(ks[1], (P,), minval=-0.9, maxval=0.9),
+        jax.random.uniform(ks[2], (P,), minval=2.5, maxval=4.0)], -1)
+    flow_true = deform_amp * jnp.stack([
+        jnp.sin(2.0 * X[:, 0]), jnp.cos(1.5 * X[:, 1]),
+        jnp.sin(X[:, 0] + X[:, 1])], -1)
+    T_true = se3.exp(jnp.array([0.02, -0.01, 0.015, 0.06, -0.04, 0.05]))
+    obs = cameras.project(cam, se3.apply(T_true, X + flow_true))
+    if n_outliers:
+        obs = obs.at[:n_outliers].add(
+            40.0 * jax.random.normal(ks[3], (n_outliers, 2)))
+    valid = jnp.arange(P) % 23 != 7
+
+    d = np.linalg.norm(np.asarray(X)[:, None] - np.asarray(X)[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    idx = np.argsort(d, axis=-1)[:, :knn].astype(np.int32)
+    dist = np.take_along_axis(d, idx, axis=-1)
+    sigma = np.median(dist) * 3
+    w = np.exp(-(dist ** 2) / (2 * sigma ** 2)).astype(np.float32)
+    pairs = pd.pairs_from_neighbors(
+        jnp.asarray(idx), jnp.asarray(w), jnp.asarray(dist, jnp.float32),
+        jnp.ones_like(jnp.asarray(w), bool))
+    return cam, X, obs, valid, pairs, T_true
+
+
+def check_pose():
+    from nrslam_tpu.geometry import se3
+    from nrslam_tpu.solver import pose_only
+
+    # Rigid problem: pose-only on a deforming scene would converge (on both
+    # paths) to a pose legitimately away from the rigid truth.
+    cam, X, obs, valid, _, T_true = _solver_problem(deform_amp=0.0)
+    pose_only.set_backend("xla")
+    fx = jax.jit(lambda: pose_only.camera_pose_optimization(
+        cam, se3.identity(), X, obs, valid))
+    T_x = fx()
+    ms_x = _timeit(fx)
+    pose_only.set_backend("pallas")
+    fp = jax.jit(lambda: pose_only.camera_pose_optimization(
+        cam, se3.identity(), X, obs, valid))
+    T_p = fp()
+    ms_p = _timeit(fp)
+    pose_only.set_backend("auto")
+    print(f"pose: xla {ms_x:.2f} ms  pallas {ms_p:.2f} ms", flush=True)
+
+    q_err = min(float(jnp.linalg.norm(T_x.q - T_p.q)),
+                float(jnp.linalg.norm(T_x.q + T_p.q)))
+    t_err = float(jnp.linalg.norm(T_x.t - T_p.t))
+    t_truth = float(jnp.linalg.norm(T_p.t - T_true.t))
+    print(f"pose: |dq| {q_err:.2e}  |dt| {t_err:.2e}  "
+          f"|t - t_true| {t_truth:.3f}", flush=True)
+    ok = q_err < 1e-3 and t_err < 1e-3 and t_truth < 0.02
+    return ok, {"xla_ms": ms_x, "pallas_ms": ms_p}
+
+
+def check_joint():
+    from nrslam_tpu.geometry import cameras, se3
+    from nrslam_tpu.solver import core as solver_core
+    from nrslam_tpu.solver import pose_deformation as pd
+    from nrslam_tpu.solver import pose_only
+
+    cam, X, obs, valid, pairs, T_true = _solver_problem()
+    pose_only.set_backend("xla")
+    T_seed = pose_only.camera_pose_optimization(cam, se3.identity(), X, obs,
+                                                valid)
+    pose_only.set_backend("auto")
+
+    # Three DISTINCT function objects: jax.jit's trace cache keys on the
+    # function identity, and the backend flag is read at trace time — a
+    # shared closure would silently reuse the first backend's trace.
+    def run_x():
+        return pd.pose_deformation_optimization(
+            cam, T_seed, X, obs, valid, pairs, scale=1.0)
+
+    def run_f():
+        return pd.pose_deformation_optimization(
+            cam, T_seed, X, obs, valid, pairs, scale=1.0)
+
+    def run_p():
+        return pd.pose_deformation_optimization(
+            cam, T_seed, X, obs, valid, pairs, scale=1.0)
+
+    pd.set_backend("xla")
+    fx = jax.jit(run_x)
+    res_x = fx()
+    ms_x = _timeit(fx, n=10)
+    # True f32 reference on the same chip: force f32 selector operands AND
+    # "highest" matmul precision — under JAX's default precision, TPU f32
+    # einsums run as single-pass bf16 on the MXU, so without this the
+    # "reference" is bit-identical to the bf16 path.
+    solver_core.force_selmm_f32(True)
+    with jax.default_matmul_precision("highest"):
+        res_f = jax.jit(run_f)()
+    solver_core.force_selmm_f32(False)
+    pd.set_backend("pallas")
+    fp = jax.jit(run_p)
+    res_p = fp()
+    ms_p = _timeit(fp, n=10)
+    pd.set_backend("auto")
+    print(f"joint: xla {ms_x:.2f} ms  pallas {ms_p:.2f} ms", flush=True)
+
+    q_err = min(float(jnp.linalg.norm(res_x.Tcw.q - res_p.Tcw.q)),
+                float(jnp.linalg.norm(res_x.Tcw.q + res_p.Tcw.q)))
+    t_err = float(jnp.linalg.norm(res_x.Tcw.t - res_p.Tcw.t))
+    m = np.asarray(valid)
+
+    def fdev(a, b):
+        return float(np.median(
+            np.linalg.norm(np.asarray(a.flows - b.flows), axis=-1)[m]))
+
+    dev_x = fdev(res_x, res_f)   # bf16 XLA vs f32 reference
+    dev_p = fdev(res_p, res_f)   # Pallas vs f32 reference
+    fmag = float(jnp.median(jnp.linalg.norm(res_f.flows, axis=-1)))
+    inl_flip_x = (np.asarray(res_x.reproj_inlier)
+                  != np.asarray(res_f.reproj_inlier)).mean()
+    inl_flip_p = (np.asarray(res_p.reproj_inlier)
+                  != np.asarray(res_f.reproj_inlier)).mean()
+
+    # What the pipeline consumes: the reprojections of the optimized state.
+    def reproj(res):
+        return cameras.project(cam, se3.apply(res.Tcw, X + res.flows))
+
+    dpx = np.linalg.norm(np.asarray(reproj(res_p) - reproj(res_f)),
+                         axis=-1)[m]
+    print(f"joint: |dq| {q_err:.2e}  |dt| {t_err:.2e}", flush=True)
+    print(f"joint: flow dev vs f32 ref (median |flow| {fmag:.3f}): "
+          f"xla-bf16 {dev_x:.2e}  pallas {dev_p:.2e}", flush=True)
+    print(f"joint: inlier flips vs f32: xla {inl_flip_x:.3f} "
+          f"pallas {inl_flip_p:.3f};  reproj diff px median "
+          f"{np.median(dpx):.4f} p95 {np.percentile(dpx, 95):.4f}",
+          flush=True)
+    # OK = pose parity, inlier-set parity, reprojection parity well under
+    # the chi2 resolution (sigma 0.5 px), and flow error no worse than ~2x
+    # the bf16 noise the XLA path already carries.
+    ok = (q_err < 5e-3 and t_err < 5e-3
+          and inl_flip_p < 0.03 and np.median(dpx) < 0.1
+          and dev_p < max(2.0 * dev_x, 0.02 * fmag, 1e-3))
+    return ok, {"xla_ms": ms_x, "pallas_ms": ms_p}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="all",
+                    choices=["all", "klt", "pose", "joint"])
+    args = ap.parse_args()
+
+    print("backend:", jax.default_backend(), jax.devices()[:1], flush=True)
+    checks = {"klt": check_klt, "pose": check_pose, "joint": check_joint}
+    names = list(checks) if args.what == "all" else [args.what]
+
+    all_ok = True
+    for name in names:
+        print(f"--- {name} ---", flush=True)
+        try:
+            ok, _ = checks[name]()
+        except Exception as e:  # surface, keep going
+            print(f"{name}: EXCEPTION {type(e).__name__}: {e}", flush=True)
+            ok = False
+        print(f"{name}: {'OK' if ok else 'MISMATCH'}", flush=True)
+        all_ok &= ok
+
+    print("PALLAS OK" if all_ok else "PALLAS MISMATCH")
+    sys.exit(0 if all_ok else 1)
 
 
 if __name__ == "__main__":
