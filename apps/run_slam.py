@@ -37,8 +37,23 @@ def main():
     ap.add_argument("--deform_amp", type=float, default=0.02,
                     help="synthetic scene deformation amplitude")
     ap.add_argument("--save_ply", default="")
+    ap.add_argument("--save_viz", default="",
+                    help="directory for overlay dumps every 10 frames "
+                         "(feature/graph/flow-trail PNGs + final 3D trails "
+                         "PLY; the ImageVisualizer/MapVisualizer save_path "
+                         "behavior, image_visualizer.cc:45-50)")
     ap.add_argument("--save_rmse", default="")
     ap.add_argument("--checkpoint_dir", default="")
+    ap.add_argument("--max_points", type=int, default=0,
+                    help="override landmark slot capacity (0 = Config default)")
+    ap.add_argument("--solver_backend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="solver kernel selection (auto = Pallas on real "
+                         "TPU backends; xla = force the XLA drivers)")
+    ap.add_argument("--lost_check_every", type=int, default=5,
+                    help="materialize the LOST/tracked-count check every N "
+                         "frames (device->host sync; 1 = reference-exact "
+                         "per-frame check, tracking.cc:97-99)")
     args = ap.parse_args()
 
     import os
@@ -65,6 +80,12 @@ def main():
         pass
 
     import jax.numpy as jnp
+    from nrslam_tpu.solver import pose_deformation as _pd
+    from nrslam_tpu.solver import pose_only as _po
+
+    _po.set_backend(args.solver_backend)
+    _pd.set_backend(args.solver_backend)
+
     from nrslam_tpu.slam import system as system_mod
     from nrslam_tpu.slam.state import Config
     from nrslam_tpu.utils.profiler import TimeProfiler
@@ -77,7 +98,10 @@ def main():
         seq = synthetic.SyntheticSequence(scene, n_frames=args.end_frame)
         cam = synthetic.camera(scene)
         config = Config(rad_per_pixel=1.0 / scene.fx)
-        slam = system_mod.System(cam, config)
+        if args.max_points:
+            config = config._replace(max_points=args.max_points)
+        slam = system_mod.System(
+            cam, config, lost_check_every=args.lost_check_every)
 
         def frames():
             for i in range(args.starting_frame, args.end_frame):
@@ -87,8 +111,10 @@ def main():
         from nrslam_tpu.config import Settings
         settings = Settings(args.settings_path)
         cam = settings.calibration
-        config = settings.slam_config()
-        slam = system_mod.System(cam, config, masker=settings.masker)
+        config = (settings.slam_config(max_points=args.max_points)
+                  if args.max_points else settings.slam_config())
+        slam = system_mod.System(cam, config, masker=settings.masker,
+                                  lost_check_every=args.lost_check_every)
 
         if args.dataset == "simulation":
             from nrslam_tpu.datasets.loaders import Simulation
@@ -120,26 +146,61 @@ def main():
                         img = img[::2, ::2]
                     yield i, img, None
 
+    import time
+
+    import jax as _jax
+
     n_tracked = 0
+    n_frames = 0
+    t_loop0 = time.perf_counter()
     for i, img, depth in frames():
         with profiler.section("frame"):
             if depth is not None:
                 out = slam.track_image_with_depth(img, depth)
             else:
                 out = slam.track_image(img)
+        n_frames += 1
         if out["status"] == system_mod.TRACKING:
             n_tracked += 1
         if i % 10 == 0:
-            print(f"frame {i}: {out}", file=sys.stderr)
+            # Print only host-known fields: materializing n_tracked_3d here
+            # would re-introduce the per-frame device sync.
+            print(f"frame {i}: status={out['status']} "
+                  f"kf={out.get('keyframe')}", file=sys.stderr)
+            if args.save_viz and slam.state is not None:
+                from nrslam_tpu.viz import dumps as viz_dumps
+                vd = Path(args.save_viz)
+                vd.mkdir(parents=True, exist_ok=True)
+                gray = np.asarray(slam._preprocess(img))
+                st = slam.state
+                viz_dumps.save_png(
+                    vd / f"features_{i:05d}.png",
+                    viz_dumps.draw_frame(gray, st.keypoints, st.status,
+                                         st.slot_used))
+                viz_dumps.save_png(
+                    vd / f"graph_{i:05d}.png",
+                    viz_dumps.draw_graph(gray, st.keypoints, st.status,
+                                         st.slot_used, st.graph))
+                viz_dumps.save_png(
+                    vd / f"flow_{i:05d}.png",
+                    viz_dumps.draw_optical_flow(gray, st))
         if out["status"] == system_mod.LOST:
             print("tracking lost", file=sys.stderr)
             break
+
+    # Drain queued device work so wall-clock fps is honest (track_image
+    # dispatches asynchronously; only every --lost_check_every frames does
+    # the loop block on the device).
+    if slam.state is not None:
+        _jax.block_until_ready(slam.state.positions)
+    loop_s = time.perf_counter() - t_loop0
 
     stats = profiler.statistics().get("frame", {})
     summary = {
         "frames_tracked": n_tracked,
         "status": slam.status,
         "mean_frame_ms": stats.get("mean_ms"),
+        "fps": round(n_frames / loop_s, 2) if n_frames else None,
         "median_rmse": (float(np.median(slam.evaluator.rmse_history))
                         if slam.evaluator.rmse_history else None),
     }
@@ -148,6 +209,10 @@ def main():
     if args.save_ply and slam.state is not None:
         from nrslam_tpu.viz.dumps import export_ply
         export_ply(args.save_ply, slam.state)
+    if args.save_viz and slam.state is not None:
+        from nrslam_tpu.viz.dumps import export_flow_trails_ply
+        export_flow_trails_ply(
+            str(Path(args.save_viz) / "flow_trails.ply"), slam.state)
     if args.save_rmse:
         slam.evaluator.save(args.save_rmse)
     if args.checkpoint_dir and slam.state is not None:

@@ -39,6 +39,7 @@ def build_bench_problem(max_points=None, height=None, width=None):
     max_points = max_points or int(os.environ.get("BENCH_POINTS", 384))
     height = height or int(os.environ.get("BENCH_H", 240))
     width = width or int(os.environ.get("BENCH_W", 320))
+    max_new_kp = int(os.environ.get("BENCH_NEW_KP", 128))
     from nrslam_tpu.datasets import synthetic
     from nrslam_tpu.geometry import cameras as cam_mod
     from nrslam_tpu.ops import klt
@@ -49,7 +50,7 @@ def build_bench_problem(max_points=None, height=None, width=None):
     scene = synthetic.SceneConfig(height=height, width=width,
                                   deform_amp=0.02)
     cam = synthetic.camera(scene)
-    config = Config(max_points=max_points, max_new_keypoints=128,
+    config = Config(max_points=max_points, max_new_keypoints=max_new_kp,
                     rad_per_pixel=1.0 / scene.fx)
 
     gray0, _, _ = synthetic.render_frame(0, scene)

@@ -66,6 +66,10 @@ class Simulation:
         self.root = Path(dataset_path)
         self.rgb_names = sorted((self.root / "rgb").glob("image_*.png"))
         self.depth_names = sorted((self.root / "depth").glob("aov_image_*.exr"))
+        # PNG16 metric-depth fallback written by simulation_export when the
+        # OpenCV build ships no EXR codec: uint16 = depth / FAR_CLIP * 65535.
+        self.depth_png_names = sorted(
+            (self.root / "depth").glob("aov_image_*.png"))
         self.poses = self._load_trajectory(self.root / "trajectory.csv")
 
     @staticmethod
@@ -93,7 +97,16 @@ class Simulation:
         return _imread_color(self.rgb_names[idx])
 
     def get_depth_image(self, idx: int) -> np.ndarray:
-        """EXR nonlinear depth buffer -> metric depth (simulation.cc:117-137)."""
+        """EXR nonlinear depth buffer -> metric depth (simulation.cc:117-137);
+        falls back to the PNG16 metric encoding of simulation_export."""
+        if not self.depth_names:
+            if self.depth_png_names:
+                from PIL import Image
+                arr = np.asarray(Image.open(self.depth_png_names[idx]),
+                                 np.float32)
+                return arr / 65535.0 * self.FAR_CLIP
+            raise FileNotFoundError(
+                f"no depth images under {self.root / 'depth'}")
         if not _HAS_CV2:
             raise RuntimeError("EXR depth decode requires OpenCV")
         os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")

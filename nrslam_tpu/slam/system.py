@@ -171,7 +171,8 @@ class System:
     def __init__(self, cam: cameras.Camera, config: Config = Config(),
                  init_config: Optional[init_mod.InitializerConfig] = None,
                  masker=None, apply_clahe: bool = False, seed: int = 4,
-                 auto_reinitialize: bool = False):
+                 auto_reinitialize: bool = False,
+                 lost_check_every: int = 1):
         self.cam = cam
         self.config = config
         self.init_config = init_config or init_mod.InitializerConfig(
@@ -186,6 +187,13 @@ class System:
         self.init_state = None
         self._frames_since_kf = 0
         self._made_kf_last_frame = False
+        # Materialize the LOST check only every N frames: int() on a device
+        # scalar is a full round trip on the remote-relay TPU backend, which
+        # otherwise caps CLI throughput far below the fused-step rate
+        # (the reference checks its <10-points exit per frame on host,
+        # tracking.cc:97-99, but its state already lives on host).
+        self.lost_check_every = max(1, int(lost_check_every))
+        self._frame_count = 0
         self._key = jax.random.PRNGKey(seed)  # reference fixes srand(4)
         self.evaluator = evaluator_mod.FrameEvaluator()
         self._image_shape = None
@@ -226,18 +234,23 @@ class System:
         self.state, frame_result = frame_step(
             self.state, gray, mask, self.cam, self.config, make_kf)
         self._made_kf_last_frame = make_kf
+        self._frame_count += 1
 
-        n3d = int(frame_result.n_tracked_3d)
-        if n3d < self.config.min_tracked_exit:
-            # The reference exit(0)s here (tracking.cc:97-99); we surface
-            # LOST, and optionally recover by re-initializing a fresh map
-            # (relocalization-or-reinit policy, SURVEY.md §5).
-            if self.auto_reinitialize:
-                self.status = NOT_INITIALIZED
-                self.state = None
-                self.init_state = None
-            else:
-                self.status = LOST
+        # n_tracked_3d stays an un-materialized device scalar on off-check
+        # frames; the LOST decision is deferred to the next check frame.
+        n3d = frame_result.n_tracked_3d
+        if self._frame_count % self.lost_check_every == 0:
+            n3d = int(n3d)
+            if n3d < self.config.min_tracked_exit:
+                # The reference exit(0)s here (tracking.cc:97-99); we surface
+                # LOST, and optionally recover by re-initializing a fresh map
+                # (relocalization-or-reinit policy, SURVEY.md §5).
+                if self.auto_reinitialize:
+                    self.status = NOT_INITIALIZED
+                    self.state = None
+                    self.init_state = None
+                else:
+                    self.status = LOST
         return {"status": self.status, "n_tracked_3d": n3d,
                 "keyframe": make_kf}
 
@@ -265,8 +278,14 @@ class System:
             gt3d, ok = stereo_ops.stereo_pattern_matching(
                 self.cam, bf, gray_l, gray_r, self.state.keypoints, valid)
             est = se3.apply(self.state.Tcw, self.state.positions)[..., 2]
+            # Stereo GT is noisy (NCC matches): the reference pre-filters by
+            # 1.5*IQR on |est-gt| and aligns with a 0.9 inlier fraction
+            # (frame_evaluator.cc:138-162), vs no-filter/0.95 for
+            # precomputed depth.
             out["stereo_rmse"] = float(
-                evaluator_mod._scale_aligned_rmse(est, gt3d[..., 2], ok))
+                evaluator_mod._scale_aligned_rmse(
+                    est, gt3d[..., 2], ok, inlier_fraction=0.9,
+                    iqr_reject=True))
         return out
 
     # -- initialization -----------------------------------------------------

@@ -112,3 +112,52 @@ def test_viz_dumps(tmp_path):
     dumps.export_ply(str(tmp_path / "map.ply"), state)
     txt = (tmp_path / "map.ply").read_text()
     assert "element vertex 17" in txt  # 16 landmarks + 1 keyframe
+
+
+def test_viz_flow_trails(tmp_path):
+    """Flow-trail overlays + 3D trail export (DrawOpticalFlow,
+    image_visualizer.cc:117-150; GetLandmarkFlow(20) -> Draw3DFlow,
+    map_visualizer.cc:166-199)."""
+    from nrslam_tpu.viz import dumps
+    config = Config(max_points=8, max_keyframes=2, temporal_window=4,
+                    klt_levels=2, klt_win=5)
+    state = state_mod.empty_state(config, (24, 32))
+    state = state._replace(
+        slot_used=jnp.ones(8, bool), has_3d=jnp.ones(8, bool),
+        positions=jnp.ones((8, 3)),
+        keypoints=5.0 + 10 * jax.random.uniform(jax.random.PRNGKey(1), (8, 2)),
+        status=jnp.zeros(8, jnp.int32))
+    # Three snapshots with drifting keypoints/positions.
+    for k in range(3):
+        state = state_mod.insert_temporal_snapshot(state)
+        state = state._replace(keypoints=state.keypoints + 2.0,
+                               positions=state.positions + 0.1)
+    img = dumps.draw_optical_flow(np.zeros((24, 32)), state)
+    assert img.shape == (24, 32, 3) and img.max() > 0
+
+    dumps.export_flow_trails_ply(str(tmp_path / "trails.ply"), state)
+    txt = (tmp_path / "trails.ply").read_text()
+    # 8 landmarks x 3 buffered snapshots, 2 segments per trail.
+    assert "element vertex 24" in txt
+    assert "element edge 16" in txt
+
+
+def test_viz_cluster_and_inlier_overlays():
+    from nrslam_tpu.viz import dumps
+    n = 40
+    key = jax.random.PRNGKey(0)
+    ref = 5.0 + 20.0 * jax.random.uniform(key, (n, 2))
+    # Two distinct flow clusters.
+    flow = jnp.where((jnp.arange(n) < 20)[:, None],
+                     jnp.array([3.0, 0.0]), jnp.array([-3.0, 2.0]))
+    cur = ref + flow
+    valid = jnp.ones(n, bool).at[-3:].set(False)
+    labels = dumps.cluster_flow_tracks(ref, cur, valid)
+    assert labels[~np.asarray(valid)].max() == -1
+    assert len(set(labels[np.asarray(valid)].tolist())) >= 2
+    img = dumps.draw_clustered_flow(np.zeros((32, 32)), ref, cur, valid,
+                                    labels)
+    assert img.max() > 0
+    inl = jnp.arange(n) % 2 == 0
+    img2 = dumps.draw_essential_inliers(np.zeros((32, 32)), cur, inl, valid)
+    assert img2.max() > 0
