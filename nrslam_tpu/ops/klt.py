@@ -62,8 +62,6 @@ class KLTConfig(NamedTuple):
     max_iters: int = 10
     epsilon: float = 1e-4
     min_eig_threshold: float = 1e-4
-    use_pallas: bool = False  # per-level iteration as a hand-written kernel
-    pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
 
 class KLTRefs(NamedTuple):
@@ -325,32 +323,12 @@ def track(pyramid, refs: KLTRefs, seeds: jnp.ndarray, statuses: jnp.ndarray,
                 is_usable(statuses) & ~(prev_in & ref_ok),
                 OUT_IMAGE_BOUNDARIES, statuses)
 
-        from nrslam_tpu.ops import klt_pallas
-        # The hand-written kernel needs the level to hold a full tile; tiny
-        # top levels (cheap anyway) use the XLA path.
-        if config.use_pallas and h >= klt_pallas.TILE_R and w >= klt_pallas.TILE_C:
-            new_pts, event = klt_pallas.track_level(
-                img, grad[..., 0], grad[..., 1],
-                ref_patch, ref_grad[..., 0], ref_grad[..., 1],
-                pts, track_this_level, mean_i, mean_i2,
-                win=win, max_iters=config.max_iters, epsilon=eps,
-                min_eig_threshold=config.min_eig_threshold,
-                interpret=config.pallas_interpret)
-            pts = jnp.where(track_this_level[:, None], new_pts, pts)
-            if level == 0:
-                statuses = jnp.where(
-                    track_this_level & (event == klt_pallas.EVENT_OOB),
-                    OUT_IMAGE_BOUNDARIES, statuses)
-                statuses = jnp.where(
-                    track_this_level & (event == klt_pallas.EVENT_DEGENERATE),
-                    BAD_FEATURE, statuses)
-                statuses = jnp.where(
-                    track_this_level & (event == klt_pallas.EVENT_DRIFT),
-                    BAD, statuses)
-            if level > 0:
-                pts = pts * 2.0
-            continue
-
+        # Note: a hand-written Pallas level kernel (one-hot MXU tile
+        # extraction + in-kernel iteration) was built and validated
+        # bit-identical on-chip in r4, but measured 2.4x SLOWER than this
+        # XLA path (5.2 vs 2.2 ms at P=256, 320x240 on v5e) — the XLA
+        # per-point-tile formulation already keeps the iteration in
+        # registers/VMEM and fuses well. Removed; see NOTES_R4.md.
         start = pts  # per-level start coordinates (drift clamp anchor)
 
         # Per-point image tiles covering the whole iteration range: the drift

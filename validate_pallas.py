@@ -1,8 +1,6 @@
 """On-chip validation of every Pallas kernel vs the XLA path.
 
 Covers (select with --what, default all):
-- ``klt``: the Pallas KLT level kernel vs the one-hot-matmul XLA tracker
-  (ops/klt_pallas.py vs ops/klt.py).
 - ``pose``: the whole-solver pose-only LM kernel
   (solver/pose_only_pallas.py vs solver/pose_only.py) — the
   CameraPoseOptimization semantics, g2o_optimization.cc:50-146.
@@ -42,53 +40,6 @@ def _timeit(fn, n=20):
         out = fn()
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n * 1e3
-
-
-def check_klt():
-    from nrslam_tpu.datasets import synthetic
-    from nrslam_tpu.ops import klt
-
-    scene = synthetic.SceneConfig(height=240, width=320, deform_amp=0.02)
-    gray0, _, _ = synthetic.render_frame(0, scene)
-    gray1, _, _ = synthetic.render_frame(1, scene)
-
-    P = int(os.environ.get("PALLAS_POINTS", 256))
-    cfg_x = klt.KLTConfig(use_pallas=False)
-    cfg_p = klt.KLTConfig(use_pallas=True)
-
-    key = jax.random.PRNGKey(0)
-    uv = jnp.stack([
-        30 + 260 * jax.random.uniform(key, (P,)),
-        30 + 180 * jax.random.uniform(jax.random.fold_in(key, 1), (P,)),
-    ], -1)
-    valid = jnp.ones(P, bool)
-    pyr0 = klt.build_pyramid(gray0, cfg_x)
-    pyr1 = klt.build_pyramid(gray1, cfg_x)
-    refs = klt.set_reference(pyr0, uv, valid, cfg_x)
-    status0 = jnp.zeros(P, jnp.int32)
-
-    fx = jax.jit(lambda s: klt.track(pyr1, refs, uv, s, cfg_x, min_ssim=0.7))
-    fp = jax.jit(lambda s: klt.track(pyr1, refs, uv, s, cfg_p, min_ssim=0.7))
-    pts_x, st_x = fx(status0)
-    pts_p, st_p = fp(status0)
-    ms_x = _timeit(lambda: fx(status0))
-    ms_p = _timeit(lambda: fp(status0))
-    print(f"klt: xla {ms_x:.2f} ms  pallas {ms_p:.2f} ms", flush=True)
-
-    pts_x, pts_p = np.asarray(pts_x), np.asarray(pts_p)
-    st_x, st_p = np.asarray(st_x), np.asarray(st_p)
-    ok_both = (st_x <= 2) & (st_p <= 2)
-    d = np.linalg.norm(pts_x - pts_p, axis=-1)
-    agree = (st_x == st_p).mean()
-    print(f"klt: status agreement {agree:.3f}, tracked-by-both "
-          f"{ok_both.sum()}/{P}", flush=True)
-    if ok_both.sum():
-        print(f"klt: pos diff px median {np.median(d[ok_both]):.4f} "
-              f"p95 {np.percentile(d[ok_both], 95):.4f}", flush=True)
-    ok = (agree > 0.9 and ok_both.sum() > 0.7 * P
-          and np.median(d[ok_both]) < 0.1
-          and np.percentile(d[ok_both], 95) < 1.0)
-    return ok, {"xla_ms": ms_x, "pallas_ms": ms_p}
 
 
 def _solver_problem(P=384, seed=0, deform_amp=0.04, n_outliers=10, knn=10):
@@ -242,11 +193,11 @@ def check_joint():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="all",
-                    choices=["all", "klt", "pose", "joint"])
+                    choices=["all", "pose", "joint"])
     args = ap.parse_args()
 
     print("backend:", jax.default_backend(), jax.devices()[:1], flush=True)
-    checks = {"klt": check_klt, "pose": check_pose, "joint": check_joint}
+    checks = {"pose": check_pose, "joint": check_joint}
     names = list(checks) if args.what == "all" else [args.what]
 
     all_ok = True
