@@ -79,9 +79,16 @@ def selmm_exact(spec: str, S: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     ``x_i - x_j`` (each product is exact, and the two-term sum rounds like
     the plain subtraction), so this is a drop-in for row gathers — which are
     near-serial on TPU — wherever chi2-grade precision is required.
+
+    Precision is pinned to HIGHEST: under JAX's *default* matmul precision
+    the TPU lowers f32 einsums to a single bf16 MXU pass, which would make
+    this silently identical to :func:`selmm` (measured on-chip in r4:
+    default-precision "f32" == bf16 bit-for-bit). HIGHEST selects the
+    multi-pass decomposition that actually delivers f32-grade products.
     """
     return jnp.einsum(spec, S.astype(jnp.float32), x.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def inv3x3(A: jnp.ndarray) -> jnp.ndarray:

@@ -38,7 +38,11 @@ class TimeProfiler:
             self.toc(name)
 
     def statistics(self):
+        # median_ms is the steady-state measure: on the remote-relay TPU
+        # backend each process pays large one-off compile/executable-load
+        # costs on the first few samples, which dominate the mean.
         return {name: dict(mean_ms=float(np.mean(s) * 1e3),
+                           median_ms=float(np.median(s) * 1e3),
                            sigma_ms=float(np.std(s) * 1e3),
                            count=len(s))
                 for name, s in self._samples.items()}
