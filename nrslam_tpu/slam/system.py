@@ -197,21 +197,33 @@ class System:
         self._key = jax.random.PRNGKey(seed)  # reference fixes srand(4)
         self.evaluator = evaluator_mod.FrameEvaluator()
         self._image_shape = None
+        self._ones_mask = None
 
     # -- preprocessing ------------------------------------------------------
 
-    def _preprocess(self, img):
-        img = jnp.asarray(img)
-        if img.ndim == 3:
+    @staticmethod
+    @_partial(jax.jit, static_argnames=("rgb", "clahe"))
+    def _preprocess_impl(img, rgb, clahe):
+        if rgb:
             img = image_ops.rgb_to_gray(img)
         img = img.astype(jnp.float32)
-        if self.apply_clahe:
+        if clahe:
             img = image_ops.clahe(img)
         return img
 
+    def _preprocess(self, img):
+        # One jitted dispatch instead of a chain of eager ops (each eager op
+        # is its own tiny program on the remote-relay backend).
+        img = jnp.asarray(img)
+        return System._preprocess_impl(img, img.ndim == 3, self.apply_clahe)
+
     def _mask(self, gray):
         if self.masker is None:
-            return jnp.ones(gray.shape, bool)
+            # Cache the trivial mask: rebuilding it is a per-frame dispatch.
+            if (self._ones_mask is None
+                    or self._ones_mask.shape != gray.shape):
+                self._ones_mask = jnp.ones(gray.shape, bool)
+            return self._ones_mask
         return self.masker(gray)
 
     # -- main entry points --------------------------------------------------

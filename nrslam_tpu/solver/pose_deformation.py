@@ -321,10 +321,12 @@ def pose_deformation_optimization(
         ratio re-validates every inexact step), at ~20% less frame time; 8
         under-resolves the weakly-observable depth axis of the flows.
     """
-    if _use_pallas():
-        from nrslam_tpu.solver.pose_deformation_pallas import (
-            pose_deformation_optimization_pallas)
-        T, flows, chi2_r = pose_deformation_optimization_pallas(
+    from nrslam_tpu.solver import pose_deformation_pallas as pdp
+    if _use_pallas() and pdp.fits_vmem(rest.shape[0], pairs.i.shape[0]):
+        # Above the VMEM ceiling (P >~ 700 with the production K=11) the
+        # whole-schedule kernel cannot hold its selectors on-chip; the XLA
+        # driver below streams them from HBM and has no size limit.
+        T, flows, chi2_r = pdp.pose_deformation_optimization_pallas(
             cam, Tcw0, rest, obs, point_valid, pairs, scale, rounds,
             cg_iters)
         reproj_inlier, deform_ok, median_def = _post_gates(

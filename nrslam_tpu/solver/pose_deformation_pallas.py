@@ -401,6 +401,26 @@ def _joint_kernel(par_ref, rest_ref, obs_ref, pmask_ref, pair_ref,
     out_arr_ref[...] = out
 
 
+def _edge_budget(P: int, E_raw: int) -> int:
+    """Lane-aligned VMEM edge budget. After the unordered-pair dedup the
+    live edge count is <= ~P*K/2 (~5.5P at the production K=11), so 6P
+    holds every edge in practice; smaller tables keep their own length."""
+    return min(((E_raw + 127) // 128) * 128, ((6 * P + 127) // 128) * 128)
+
+
+def fits_vmem(P: int, E_raw: int, budget_bytes: int = 12 * 2 ** 20) -> bool:
+    """Whether the whole-schedule kernel's resident selectors fit VMEM.
+
+    The dominant VMEM residents are the two [E, Pp] bf16 selector matrices
+    (difference + endpoint-sum); everything else ([8, Pp] lane arrays and
+    [8, E] edge rows) is ~2 MB. 12 MB leaves headroom for those and for
+    Mosaic temporaries under the 16 MB scoped limit (measured: P=768 with
+    an 8P budget requested 20.8 MB and was rejected at compile time)."""
+    Pp = ((P + 127) // 128) * 128
+    E = _edge_budget(P, E_raw)
+    return 2 * E * Pp * 2 <= budget_bytes
+
+
 def pose_deformation_optimization_pallas(
         cam, Tcw0, rest, obs, point_valid, pairs, scale,
         rounds=(10, 10), cg_iters: int = 10, interpret: bool = False):
@@ -422,7 +442,7 @@ def pose_deformation_optimization_pallas(
     # This both fits the selectors in VMEM and shrinks every edge matmul.
     pair_base_full = pairs.valid & point_valid[pairs.i] & point_valid[pairs.j]
     E_raw = pairs.i.shape[0]
-    budget = min(((E_raw + 127) // 128) * 128, ((8 * P + 127) // 128) * 128)
+    budget = _edge_budget(P, E_raw)
     # top_k's k may not exceed the table length (small maps / small K can
     # leave E_raw below the lane-aligned budget); select min(E_raw, budget)
     # edges and pad the rest with invalid entries.
