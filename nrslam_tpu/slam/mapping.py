@@ -240,6 +240,10 @@ def keyframe_mapping(state: SlamState, cam, config: Config) -> SlamState:
         state.graph, eligible, config.regularizers_per_point)
     pairs = pd.pairs_from_neighbors(nbr_idx, nbr_w, nbr_d0,
                                     nbr_valid & eligible[:, None])
+    # Compact to the live top-weight subset: halves every [E, P] selector
+    # matmul of the BA (and the kf-sharded variant sees the same table, so
+    # their parity is preserved).
+    pairs = pd.compact_pairs(pairs, L0.shape[1], eligible)
 
     problem = ba.BAProblem(obs=obs, obs_valid=obs_valid, kf_valid=win_valid,
                            pairs=pairs, scale=state.scale)

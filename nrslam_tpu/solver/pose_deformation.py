@@ -81,6 +81,33 @@ def pairs_from_neighbors(nbr_idx: jnp.ndarray, nbr_w: jnp.ndarray,
     return PairEdges(src, dst, w, d0, keep)
 
 
+def compact_pairs(pairs: PairEdges, P: int,
+                  point_valid: jnp.ndarray | None = None) -> PairEdges:
+    """Compact the directed-table pair edges to the top-weight live subset.
+
+    ``pairs_from_neighbors`` returns one row per DIRECTED neighbor entry
+    (E = P*K) with ~half invalidated by the unordered-pair dedup — but every
+    [E, P] selector matmul still streams the dead rows. Keeping the
+    ``budget = 6P`` highest-RBF-weight valid edges (ample for the ~P*K/2
+    live maximum at the production K=11; larger tables truncate
+    lowest-weight first — RegularizationGraph::GetEdges' policy,
+    regularization_graph.cc:61-87) halves the edge-matmul cost of the
+    XLA joint driver and both BA variants. No-op when the table already
+    fits the budget.
+    """
+    E_raw = pairs.i.shape[0]
+    budget = ((min(E_raw, 6 * P) + 127) // 128) * 128
+    if E_raw <= budget:
+        return pairs
+    base = pairs.valid
+    if point_valid is not None:
+        base = base & point_valid[pairs.i] & point_valid[pairs.j]
+    score = jnp.where(base, pairs.w, -jnp.inf)
+    _, esel = jax.lax.top_k(score, budget)
+    return PairEdges(i=pairs.i[esel], j=pairs.j[esel], w=pairs.w[esel],
+                     d0=pairs.d0[esel], valid=base[esel])
+
+
 def scatter_matrices(pairs: PairEdges, P: int):
     """Dense one-hot endpoint-selection matrices Si/Sj [E, P] in bfloat16.
 
@@ -321,6 +348,9 @@ def pose_deformation_optimization(
         ratio re-validates every inexact step), at ~20% less frame time; 8
         under-resolves the weakly-observable depth axis of the flows.
     """
+    # Shared edge compaction (both backends): drop dedup-dead selector rows.
+    pairs = compact_pairs(pairs, rest.shape[0], point_valid)
+
     from nrslam_tpu.solver import pose_deformation_pallas as pdp
     if _use_pallas() and pdp.fits_vmem(rest.shape[0], pairs.i.shape[0]):
         # Above the VMEM ceiling (P >~ 700 with the production K=11) the
