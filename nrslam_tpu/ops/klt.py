@@ -113,18 +113,43 @@ def _extract_patches(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
     return jnp.einsum("pswc,ptw->pstc", rowsel, C)
 
 
-def _tile_window(tiles: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
+def _tile_window(tiles_t: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
                  size: int) -> jnp.ndarray:
-    """Extract [P, size, size(, C)] windows at integer offsets from per-point
-    tiles [P, T, T(, C)] (one-hot matmuls on the point-local tiles)."""
-    T = tiles.shape[2]
-    R = jax.nn.one_hot(dy[:, None] + jnp.arange(size), T, dtype=jnp.float32)
-    C = jax.nn.one_hot(dx[:, None] + jnp.arange(size), T, dtype=jnp.float32)
+    """Extract [P, size, size(, C)] windows at integer offsets from
+    POINT-LAST tiles [T, T(, C), P] (see :func:`_tiles_point_last`).
+
+    The offsets are bounded by the tile margin (T - size + 1 possible
+    shifts, 27 for the production 48-tile / 22-window), so the window is a
+    masked sum over shifted slices. The layout is the point: with P on the
+    lane axis, both shift dimensions are un-tiled leading axes, so every
+    slice is a free view and the selects vectorize across points — vs the
+    original [P, T, T] layout where the same slices hit the (sublane, lane)
+    tiled dims and each shift forced a relayout of the whole tile stack
+    (or, in the earlier one-hot form, P tiny matmuls that waste the MXU).
+    Called once per KLT iteration — the tracker's inner-loop hot op."""
+    n_shift = tiles_t.shape[0] - size + 1
+
+    def shift_select(x, off, axis):
+        acc = None
+        for k in range(n_shift):
+            sl = jax.lax.slice_in_dim(x, k, k + size, axis=axis)
+            term = jnp.where(off == k, sl, 0.0)   # off [P] rides lanes
+            acc = term if acc is None else acc + term
+        return acc
+
+    win = shift_select(shift_select(tiles_t, dy, 0), dx, 1)
+    # Back to the [P, size, size(, C)] layout the window math uses.
+    if win.ndim == 3:
+        return jnp.transpose(win, (2, 0, 1))
+    return jnp.transpose(win, (3, 0, 1, 2))
+
+
+def _tiles_point_last(tiles: jnp.ndarray) -> jnp.ndarray:
+    """[P, T, T(, C)] -> [T, T(, C), P] (done once per level, outside the
+    iteration loop, so _tile_window's slices stay layout-free)."""
     if tiles.ndim == 3:
-        rowsel = jnp.einsum("prt,ptc->prc", R, tiles)
-        return jnp.einsum("prc,pwc->prw", rowsel, C)
-    rowsel = jnp.einsum("prt,ptck->prck", R, tiles)
-    return jnp.einsum("prck,pwc->prwk", rowsel, C)
+        return jnp.transpose(tiles, (1, 2, 0))
+    return jnp.transpose(tiles, (1, 2, 3, 0))
 
 
 def _bilinear_from_int(win_plus1: jnp.ndarray, fx: jnp.ndarray,
@@ -339,8 +364,11 @@ def track(pyramid, refs: KLTRefs, seeds: jnp.ndarray, statuses: jnp.ndarray,
         half = (win - 1) * 0.5
         tile_x0 = jnp.floor(start[:, 0] - half).astype(jnp.int32) - margin
         tile_y0 = jnp.floor(start[:, 1] - half).astype(jnp.int32) - margin
-        timg = _extract_patches(img, tile_y0, tile_x0, TILE)
-        tgrad = _extract_patches(grad, tile_y0, tile_x0, TILE)
+        # Point-last layout once per level; the per-iteration window
+        # extraction then slices un-tiled leading axes (see _tile_window).
+        timg = _tiles_point_last(_extract_patches(img, tile_y0, tile_x0, TILE))
+        tgrad = _tiles_point_last(_extract_patches(grad, tile_y0, tile_x0,
+                                                   TILE))
 
         def iter_cond(carry):
             # Early exit once every point has converged/failed: identical
