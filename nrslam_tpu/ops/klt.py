@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -80,6 +82,7 @@ class KLTRefs(NamedTuple):
     valid: jnp.ndarray       # [P, L] window fully inside image + unmasked
 
 
+@partial(jax.jit, static_argnames=("config",))
 def build_pyramid(img: jnp.ndarray, config: KLTConfig):
     """Image pyramid with Scharr derivative images, level 0 first."""
     return image_ops.build_pyramid(img, config.max_level + 1)
@@ -192,6 +195,7 @@ def _sample_windows(img, grad, pts, win: int):
             _sample_image_windows(grad, pts, win))
 
 
+@partial(jax.jit, static_argnames=("config",))
 def set_reference(pyramid, points: jnp.ndarray, point_valid: jnp.ndarray,
                   config: KLTConfig, mask: jnp.ndarray | None = None) -> KLTRefs:
     """Precompute per-point per-level reference windows.

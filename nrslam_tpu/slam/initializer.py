@@ -23,6 +23,7 @@ Deviations from the reference, by design:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -68,6 +69,7 @@ class InitializationResult(NamedTuple):
     track_id: jnp.ndarray         # [F]
 
 
+@partial(jax.jit, static_argnames=("klt_config", "config"))
 def reset(pyramid, mask, next_track_id, klt_config: klt.KLTConfig,
           config: InitializerConfig) -> InitializerState:
     """Extract fresh features and set the KLT reference
@@ -92,6 +94,7 @@ def reset(pyramid, mask, next_track_id, klt_config: klt.KLTConfig,
     )
 
 
+@partial(jax.jit, static_argnames=("klt_config", "config"))
 def track_frame(state: InitializerState, pyramid, klt_config: klt.KLTConfig,
                 config: InitializerConfig):
     """KLT data association against the reference image. Returns
@@ -233,7 +236,20 @@ def reconstruct_points(cam, Tcw, ref_uv, cur_uv, inliers,
 
 def try_initialize(cam, state: InitializerState, config: InitializerConfig,
                    key) -> InitializationResult:
-    """Full rigid initialization attempt on the current track set."""
+    """Full rigid initialization attempt on the current track set.
+
+    Jitted as one program (cam split into params + static kind): the init
+    phase otherwise runs op-by-op, which on the remote-relay TPU backend
+    costs a program dispatch per op (~2 s per init frame measured at
+    max_features=4000 before jitting; ~25 ms after)."""
+    return _try_initialize_impl(cam.params, cam.kind, state, config, key)
+
+
+@partial(jax.jit, static_argnames=("cam_kind", "config"))
+def _try_initialize_impl(cam_params, cam_kind, state: InitializerState,
+                         config: InitializerConfig,
+                         key) -> InitializationResult:
+    cam = cameras.Camera(cam_params, cam_kind)
     tracked = state.valid & (state.status == klt.TRACKED)
     ref_rays = cameras.unit_rays(cam, state.ref_keypoints)
     cur_rays = cameras.unit_rays(cam, state.cur_keypoints)

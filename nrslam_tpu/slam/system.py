@@ -39,6 +39,10 @@ from nrslam_tpu.slam.state import Config
 from nrslam_tpu.utils import stats
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("config",))
 def bootstrap_map(state, result: init_mod.InitializationResult, pyramid,
                   config: Config):
     """Create the initial map from a successful rigid initialization.
@@ -134,9 +138,6 @@ def bootstrap_map_stereo(state, keypoints, landmarks, point_ok, track_ids,
 NOT_INITIALIZED = "NOT_INITIALIZED"
 TRACKING = "TRACKING"
 LOST = "LOST"
-
-
-from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("cam_kind", "config", "make_keyframe"))
