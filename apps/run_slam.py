@@ -51,9 +51,12 @@ def main():
                     help="solver kernel selection (auto = Pallas on real "
                          "TPU backends; xla = force the XLA drivers)")
     ap.add_argument("--lost_check_every", type=int, default=5,
-                    help="materialize the LOST/tracked-count check every N "
-                         "frames (device->host sync; 1 = reference-exact "
-                         "per-frame check, tracking.cc:97-99)")
+                    help="surface the LOST check to host every N frames. "
+                         "Semantics are reference-exact at any N: the "
+                         "collapse latches ON DEVICE at the frame it "
+                         "happens (tracking.cc:97-99) and later frames "
+                         "freeze to no-ops; N only delays when the host "
+                         "*reports* it (each check is a device->host sync)")
     args = ap.parse_args()
 
     import os

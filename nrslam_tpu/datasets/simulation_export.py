@@ -72,8 +72,9 @@ def _write_depth(depth_dir: Path, idx: int, depth: np.ndarray) -> str:
     q = np.clip(depth / far, 0.0, 1.0)
     arr = np.round(q * 65535.0).astype(np.uint16)
     from PIL import Image
-    Image.frombytes("I;16", (arr.shape[1], arr.shape[0]),
-                    arr.tobytes()).save(depth_dir / name)
+    # fromarray (not frombytes on raw bytes): PIL picks the 16-bit mode and
+    # handles host byte order, so the encoding is endian-safe.
+    Image.fromarray(arr).save(depth_dir / name)
     return name
 
 

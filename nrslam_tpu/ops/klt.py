@@ -81,6 +81,19 @@ class KLTRefs(NamedTuple):
     mean_i2: jnp.ndarray     # [P, L] descaled window squared means
     valid: jnp.ndarray       # [P, L] window fully inside image + unmasked
 
+    def level_slice(self, n_levels: int) -> "KLTRefs":
+        """First ``n_levels`` pyramid levels of every per-level field.
+
+        Explicit by field name: level-indexed arrays carry L on axis 1, but
+        selecting them by shape coincidence would silently slice any future
+        field whose dim-1 happens to equal L."""
+        return self._replace(
+            patch=self.patch[:, :n_levels],
+            patch_grad=self.patch_grad[:, :n_levels],
+            mean_i=self.mean_i[:, :n_levels],
+            mean_i2=self.mean_i2[:, :n_levels],
+            valid=self.valid[:, :n_levels])
+
 
 @partial(jax.jit, static_argnames=("config",))
 def build_pyramid(img: jnp.ndarray, config: KLTConfig):

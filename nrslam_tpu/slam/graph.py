@@ -17,6 +17,17 @@ Edge state and semantics (regularization_graph.h:41-58, .cc:38-128):
 
 The VERIFIED/NEIGHBOR statuses of the reference enum are never assigned by
 any code path there, so edges here are just (exists, bad).
+
+Design limit: the six [P, P] edge arrays (plus [P, P, 3] distance
+temporaries inside updates) are quadratic in the slot capacity — at the
+tested P <= 1024 each is <= 4 MB and the dense elementwise update is faster
+than any sparse form on TPU, but past P ~ 4096 the arrays reach 64 MB each
+and the update becomes the frame's bandwidth bottleneck. Raising
+``Config.max_points`` beyond a few thousand calls for switching
+``update_vertices``/``top_k_neighbors`` to a banded/neighbor-list form
+(each point only ever interacts with its K nearest); the solvers already
+consume the graph through the compacted K-neighbor table, so the change is
+local to this module.
 """
 
 from __future__ import annotations

@@ -106,6 +106,12 @@ class SlamState(NamedTuple):
     scale: jnp.ndarray         # global map scale
     next_track_id: jnp.ndarray  # int32 feature id counter
     motion_model: se3.SE3      # relative motion Tcw_t * Tcw_{t-1}^-1
+    # Device-side tracking-collapse latch (reference: per-frame host check +
+    # exit(0), tracking.cc:97-99). Once set, the fused frame step freezes the
+    # whole state so deferred host checks (lost_check_every > 1) cannot run
+    # the pipeline on a collapsed map — reference-exact semantics without a
+    # per-frame host round trip.
+    lost: jnp.ndarray          # bool scalar
 
 
 def empty_state(config: Config, image_shape) -> SlamState:
@@ -153,6 +159,7 @@ def empty_state(config: Config, image_shape) -> SlamState:
         scale=jnp.float32(1.0),
         next_track_id=jnp.int32(0),
         motion_model=se3.identity(),
+        lost=jnp.array(False),
     )
 
 

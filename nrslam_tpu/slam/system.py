@@ -151,11 +151,22 @@ def _fused_frame_impl(state, gray, mask, cam_params, cam_kind, config,
     non-keyframe), mirroring the reference's host-known cadence
     (tracking.h:46).
     """
+    old = state
     pyramid = klt.build_pyramid(gray, config.klt_config)
     state, result = tracking_mod._process_frame_impl(
         state, pyramid, mask, cam_params, cam_kind, config, make_keyframe)
     state = mapping_mod._mapping_impl(
         state, cam_params, cam_kind, config, has_new_keyframe=make_keyframe)
+    # Device-side LOST freeze: once the collapse latch is set, every later
+    # frame is a no-op on the state (the reference exit(0)s at the collapse
+    # frame, tracking.cc:97-99). This keeps reference-exact semantics even
+    # when the host only materializes the check every `lost_check_every`
+    # frames — the <=N-1 frames between collapse and discovery neither
+    # corrupt the map nor advance the rings.
+    state = jax.tree.map(_partial(jnp.where, old.lost), old, state)
+    result = result._replace(
+        n_tracked_3d=jnp.where(old.lost, 0, result.n_tracked_3d),
+        lost=old.lost | result.lost)
     return state, result
 
 
@@ -249,12 +260,14 @@ class System:
         self._made_kf_last_frame = make_kf
         self._frame_count += 1
 
-        # n_tracked_3d stays an un-materialized device scalar on off-check
-        # frames; the LOST decision is deferred to the next check frame.
-        n3d = frame_result.n_tracked_3d
+        # n_tracked_3d is ALWAYS an un-materialized device scalar (int32);
+        # callers needing a host int should int() it themselves. The LOST
+        # decision reads the device-side collapse latch (state.lost), which
+        # freezes the pipeline the moment tracking collapses, so deferring
+        # the host materialization to every `lost_check_every` frames delays
+        # only the *surfacing* of LOST, not its semantics.
         if self._frame_count % self.lost_check_every == 0:
-            n3d = int(n3d)
-            if n3d < self.config.min_tracked_exit:
+            if bool(frame_result.lost):
                 # The reference exit(0)s here (tracking.cc:97-99); we surface
                 # LOST, and optionally recover by re-initializing a fresh map
                 # (relocalization-or-reinit policy, SURVEY.md §5).
@@ -264,7 +277,8 @@ class System:
                     self.init_state = None
                 else:
                     self.status = LOST
-        return {"status": self.status, "n_tracked_3d": n3d,
+        return {"status": self.status,
+                "n_tracked_3d": frame_result.n_tracked_3d,
                 "keyframe": make_kf}
 
     def track_image_with_depth(self, img, depth) -> dict:

@@ -132,9 +132,7 @@ def point_reuse(state: SlamState, pyramid, cam, config: Config,
 
     # 2-level KLT (the reference builds a maxLevel=1 tracker, tracking.cc:423).
     reuse_cfg = config.klt_config._replace(max_level=1)
-    reuse_refs = jax.tree.map(
-        lambda x: x[:, :2] if x.ndim >= 2 and x.shape[1] == config.klt_levels
-        else x, state.refs)
+    reuse_refs = state.refs.level_slice(2)
     seeds = jnp.where(candidates[:, None], proj, state.keypoints)
     seed_status = jnp.where(candidates, klt.TRACKED_WITH_3D,
                             jnp.int32(state_mod.NOT_IN_FRAME))
@@ -224,8 +222,11 @@ def _process_frame_impl(state, pyramid, mask, cam_params, cam_kind, config,
     if make_keyframe:
         state = create_keyframe(state, pyramid, mask, config)
     state = state_mod.insert_temporal_snapshot(state)
-    return state, FrameResult(n_tracked_3d=n3d,
-                              lost=n3d < config.min_tracked_exit)
+    # Latch the collapse on device (reference checks <10 on host and exits,
+    # tracking.cc:97-99). system.frame_step freezes the state once latched.
+    lost = state.lost | (n3d < config.min_tracked_exit)
+    state = state._replace(lost=lost)
+    return state, FrameResult(n_tracked_3d=n3d, lost=lost)
 
 
 def process_frame(state: SlamState, pyramid, mask, cam: cameras.Camera,

@@ -81,22 +81,37 @@ def pairs_from_neighbors(nbr_idx: jnp.ndarray, nbr_w: jnp.ndarray,
     return PairEdges(src, dst, w, d0, keep)
 
 
+def edge_budget(P: int, E_raw: int) -> int:
+    """Live-edge budget for a RAW directed P*K pair table: ceil(K/2)*P + P.
+
+    K is recovered from the raw table shape (E_raw = P*K as produced by
+    ``pairs_from_neighbors``) so raising ``config.regularizers_per_point``
+    scales the budget instead of silently truncating valid regularization
+    edges (the old hard-coded 6P assumed K=11). Do NOT re-apply to an
+    already-compacted table — the inferred K would shrink and live edges
+    would be dropped (compaction is applied exactly once, at
+    ``pose_deformation_optimization`` / mapping entry)."""
+    K = max(1, -(-E_raw // max(P, 1)))  # ceil, robust to padded tables
+    return (-(-K // 2) + 1) * P
+
+
 def compact_pairs(pairs: PairEdges, P: int,
                   point_valid: jnp.ndarray | None = None) -> PairEdges:
     """Compact the directed-table pair edges to the top-weight live subset.
 
     ``pairs_from_neighbors`` returns one row per DIRECTED neighbor entry
     (E = P*K) with ~half invalidated by the unordered-pair dedup — but every
-    [E, P] selector matmul still streams the dead rows. Keeping the
-    ``budget = 6P`` highest-RBF-weight valid edges (ample for the ~P*K/2
-    live maximum at the production K=11; larger tables truncate
-    lowest-weight first — RegularizationGraph::GetEdges' policy,
-    regularization_graph.cc:61-87) halves the edge-matmul cost of the
-    XLA joint driver and both BA variants. No-op when the table already
+    [E, P] selector matmul still streams the dead rows. The budget keeps the
+    ``ceil(K/2)*P + P`` highest-RBF-weight valid edges — derived from the
+    actual K of the table (the dedup keeps <= ~P*K/2 live edges; +P slack
+    absorbs non-mutual pairs that survive both directions). Larger tables
+    truncate lowest-weight first — RegularizationGraph::GetEdges' policy,
+    regularization_graph.cc:61-87 — roughly halving the edge-matmul cost of
+    the XLA joint driver and both BA variants. No-op when the table already
     fits the budget.
     """
     E_raw = pairs.i.shape[0]
-    budget = ((min(E_raw, 6 * P) + 127) // 128) * 128
+    budget = ((min(E_raw, edge_budget(P, E_raw)) + 127) // 128) * 128
     if E_raw <= budget:
         return pairs
     base = pairs.valid
@@ -352,13 +367,15 @@ def pose_deformation_optimization(
     pairs = compact_pairs(pairs, rest.shape[0], point_valid)
 
     from nrslam_tpu.solver import pose_deformation_pallas as pdp
-    if _use_pallas() and pdp.fits_vmem(rest.shape[0], pairs.i.shape[0]):
-        # Above the VMEM ceiling (P >~ 700 with the production K=11) the
-        # whole-schedule kernel cannot hold its selectors on-chip; the XLA
-        # driver below streams them from HBM and has no size limit.
+    if _use_pallas():
+        # The kernel picks resident (selector in VMEM, P <~ 900) vs
+        # HBM-streaming (int8 selector DMA'd block-by-block, no size limit)
+        # internally, so the whole-schedule single-launch path now covers
+        # every operating point; the XLA driver below remains the CPU /
+        # forced-backend fallback.
         T, flows, chi2_r = pdp.pose_deformation_optimization_pallas(
             cam, Tcw0, rest, obs, point_valid, pairs, scale, rounds,
-            cg_iters)
+            cg_iters, already_compact=True)
         reproj_inlier, deform_ok, median_def = _post_gates(
             flows, chi2_r, point_valid)
         return PoseDeformationResult(T, flows, reproj_inlier, deform_ok,

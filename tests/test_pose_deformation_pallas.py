@@ -52,7 +52,7 @@ def _problem(cam, n=150, seed=0, deform_amp=0.05, n_outliers=0,
     return X, obs, valid, pairs, T_seed, T_true
 
 
-def _both(cam, X, obs, valid, pairs, T_seed, rounds=(10, 10)):
+def _both(cam, X, obs, valid, pairs, T_seed, rounds=(10, 10), stream=False):
     pd.set_backend("xla")
     try:
         res_x = pd.pose_deformation_optimization(
@@ -61,7 +61,7 @@ def _both(cam, X, obs, valid, pairs, T_seed, rounds=(10, 10)):
         pd.set_backend("auto")
     T_p, flows_p, chi2_p = pose_deformation_optimization_pallas(
         cam, T_seed, X, obs, valid, pairs, scale=1.0, rounds=rounds,
-        interpret=True)
+        interpret=True, stream=stream)
     return res_x, (T_p, flows_p, chi2_p)
 
 
@@ -91,6 +91,28 @@ def test_joint_kernel_matches_xla_driver(cam):
                                                n_outliers=8)
     res_x, out_p = _both(cam, X, obs, valid, pairs, T_seed)
     _assert_parity(res_x, out_p, valid)
+
+
+@pytest.mark.parametrize("cam", [CAM_PIN, CAM_KB8], ids=["pinhole", "kb8"])
+def test_joint_kernel_streaming_matches_xla_driver(cam):
+    """HBM-streaming variant (double-buffered selector DMA, multi-block:
+    E ~ 1152 > STREAM_BLOCK=512 so 3 blocks stream per edge pass) must
+    match the XLA driver exactly like the resident kernel does."""
+    X, obs, valid, pairs, T_seed, _ = _problem(cam, deform_amp=0.05,
+                                               n_outliers=8)
+    res_x, out_p = _both(cam, X, obs, valid, pairs, T_seed, stream=True)
+    _assert_parity(res_x, out_p, valid)
+
+
+def test_joint_kernel_streaming_masked_and_odd():
+    """Streaming + masked points/edges + odd P (padded lanes AND a padded
+    tail block in the edge table)."""
+    X, obs, valid, pairs, T_seed, _ = _problem(
+        CAM_PIN, n=131, deform_amp=0.04, n_outliers=4, masked_points=17)
+    res_x, out_p = _both(CAM_PIN, X, obs, valid, pairs, T_seed, stream=True)
+    _assert_parity(res_x, out_p, valid)
+    T_p, flows_p, _ = out_p
+    assert float(jnp.max(jnp.abs(flows_p[-17:]))) == 0.0
 
 
 def test_joint_kernel_masked_points_and_edges():

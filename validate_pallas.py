@@ -190,14 +190,78 @@ def check_joint():
     return ok, {"xla_ms": ms_x, "pallas_ms": ms_p}
 
 
+def check_scale(P=768):
+    """Reference-scale joint solve: XLA driver vs the Pallas kernel in both
+    placements (resident if it fits VMEM, HBM-streaming always). This is
+    the operating point that used to fall back to XLA (VERDICT r4 #3)."""
+    from nrslam_tpu.geometry import cameras, se3
+    from nrslam_tpu.solver import pose_deformation as pd
+    from nrslam_tpu.solver import pose_deformation_pallas as pdp
+    from nrslam_tpu.solver import pose_only
+
+    cam, X, obs, valid, pairs, _ = _solver_problem(P=P)
+    pose_only.set_backend("xla")
+    T_seed = pose_only.camera_pose_optimization(cam, se3.identity(), X, obs,
+                                                valid)
+    pose_only.set_backend("auto")
+
+    pairs_c = pd.compact_pairs(pairs, P, valid)
+    E = pairs_c.i.shape[0]
+    fits = pdp.fits_vmem(P, E, already_compact=True)
+
+    def run_x():
+        return pd.pose_deformation_optimization(
+            cam, T_seed, X, obs, valid, pairs, scale=1.0)
+
+    pd.set_backend("xla")
+    fx = jax.jit(run_x)
+    res_x = fx()
+    ms_x = _timeit(fx, n=10)
+    pd.set_backend("auto")
+
+    def reproj(Tcw, flows):
+        return cameras.project(cam, se3.apply(Tcw, X + flows))
+
+    rx = reproj(res_x.Tcw, res_x.flows)
+    m = np.asarray(valid)
+    ok = True
+    times = {"xla_ms": ms_x}
+    modes = ([("resident", False)] if fits else []) + [("stream", True)]
+    for name, stream in modes:
+        def run_k(stream=stream):
+            return pdp.pose_deformation_optimization_pallas(
+                cam, T_seed, X, obs, valid, pairs_c, 1.0,
+                already_compact=True, stream=stream)
+
+        fk = jax.jit(run_k)
+        T_k, flows_k, chi2_k = fk()
+        ms_k = _timeit(fk, n=10)
+        times[f"{name}_ms"] = ms_k
+        q_err = min(float(jnp.linalg.norm(res_x.Tcw.q - T_k.q)),
+                    float(jnp.linalg.norm(res_x.Tcw.q + T_k.q)))
+        t_err = float(jnp.linalg.norm(res_x.Tcw.t - T_k.t))
+        dpx = np.linalg.norm(np.asarray(reproj(T_k, flows_k) - rx), axis=-1)[m]
+        inl_flip = (np.asarray(valid & (chi2_k <= pd.TH_2DOF))
+                    != np.asarray(res_x.reproj_inlier)).mean()
+        print(f"scale P={P} E={E}: xla {ms_x:.2f} ms  {name} {ms_k:.2f} ms "
+              f"({ms_x / ms_k:.2f}x)  |dq| {q_err:.1e} |dt| {t_err:.1e} "
+              f"reproj-diff med {np.median(dpx):.4f} px  "
+              f"inlier flips {inl_flip:.3f}", flush=True)
+        ok &= (q_err < 5e-3 and t_err < 5e-3 and np.median(dpx) < 0.1
+               and inl_flip < 0.03)
+    return ok, times
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="all",
-                    choices=["all", "pose", "joint"])
+                    choices=["all", "pose", "joint", "scale768", "scale1024"])
     args = ap.parse_args()
 
     print("backend:", jax.default_backend(), jax.devices()[:1], flush=True)
-    checks = {"pose": check_pose, "joint": check_joint}
+    checks = {"pose": check_pose, "joint": check_joint,
+              "scale768": lambda: check_scale(768),
+              "scale1024": lambda: check_scale(1024)}
     names = list(checks) if args.what == "all" else [args.what]
 
     all_ok = True
