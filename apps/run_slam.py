@@ -50,6 +50,12 @@ def main():
                     choices=["auto", "xla", "pallas"],
                     help="solver kernel selection (auto = Pallas on real "
                          "TPU backends; xla = force the XLA drivers)")
+    ap.add_argument("--init_check_every", type=int, default=4,
+                    help="batch-materialize the initializer success flags "
+                         "every N frames (1 = reference-exact handoff; "
+                         "N > 1 trades up to N-1 frames at the "
+                         "init->tracking handoff for zero per-frame "
+                         "device->host syncs during initialization)")
     ap.add_argument("--lost_check_every", type=int, default=5,
                     help="surface the LOST check to host every N frames. "
                          "Semantics are reference-exact at any N: the "
@@ -104,12 +110,13 @@ def main():
         if args.max_points:
             config = config._replace(max_points=args.max_points)
         slam = system_mod.System(
-            cam, config, lost_check_every=args.lost_check_every)
+            cam, config, lost_check_every=args.lost_check_every,
+            init_check_every=args.init_check_every)
 
         def frames():
             for i in range(args.starting_frame, args.end_frame):
                 gray, depth, _ = seq.get_frame(i)
-                yield i, gray, depth
+                yield i, gray, depth, None
     else:
         from nrslam_tpu.config import Settings
         settings = Settings(args.settings_path)
@@ -117,7 +124,8 @@ def main():
         config = (settings.slam_config(max_points=args.max_points)
                   if args.max_points else settings.slam_config())
         slam = system_mod.System(cam, config, masker=settings.masker,
-                                  lost_check_every=args.lost_check_every)
+                                  lost_check_every=args.lost_check_every,
+                                  init_check_every=args.init_check_every)
 
         if args.dataset == "simulation":
             from nrslam_tpu.datasets.loaders import Simulation
@@ -130,14 +138,22 @@ def main():
                     if args.half_resolution:
                         img = img[::2, ::2]
                         depth = depth[::2, ::2]
-                    yield i, img, depth
+                    yield i, img, depth, None
         elif args.dataset == "hamlyn":
             from nrslam_tpu.datasets.loaders import Hamlyn
             ds = Hamlyn(args.dataset_path)
 
+            # Stereo evaluation path (system.cc:134-160): track the left
+            # stream; right frames + Stereo.bf feed the stereo-GT depth
+            # evaluator when present in the cache.
             def frames():
                 for i in range(args.starting_frame, min(args.end_frame, len(ds))):
-                    yield i, ds.get_image(i), None
+                    right = ds.get_right_image(i)
+                    if args.half_resolution:
+                        yield (i, ds.get_image(i)[::2, ::2], None,
+                               None if right is None else right[::2, ::2])
+                    else:
+                        yield i, ds.get_image(i), None, right
         else:
             from nrslam_tpu.datasets.loaders import Endomapper
             ds = Endomapper(args.dataset_path)
@@ -147,21 +163,27 @@ def main():
                     img = ds.get_image(i)
                     if args.half_resolution:
                         img = img[::2, ::2]
-                    yield i, img, None
+                    yield i, img, None, None
 
     import time
 
     import jax as _jax
 
+    stereo_bf = 0.0 if args.dataset == "synthetic" else settings.bf
+    stereo_rmses = []
     n_tracked = 0
     n_frames = 0
     steady_t0 = None
     steady_n = 0
     t_loop0 = time.perf_counter()
-    for i, img, depth in frames():
+    for i, img, depth, right in frames():
         with profiler.section("frame"):
             if depth is not None:
                 out = slam.track_image_with_depth(img, depth)
+            elif right is not None and stereo_bf > 0:
+                out = slam.track_image_with_stereo(img, right, bf=stereo_bf)
+                if "stereo_rmse" in out:
+                    stereo_rmses.append(out["stereo_rmse"])
             else:
                 out = slam.track_image(img)
         n_frames += 1
@@ -219,6 +241,8 @@ def main():
                        if steady_t0 is not None and steady_n else None),
         "median_rmse": (float(np.median(slam.evaluator.rmse_history))
                         if slam.evaluator.rmse_history else None),
+        "median_stereo_rmse": (float(np.median(stereo_rmses))
+                               if stereo_rmses else None),
     }
     print(json.dumps(summary))
 
@@ -230,7 +254,14 @@ def main():
         export_flow_trails_ply(
             str(Path(args.save_viz) / "flow_trails.ply"), slam.state)
     if args.save_rmse:
-        slam.evaluator.save(args.save_rmse)
+        if slam.evaluator.rmse_history or not stereo_rmses:
+            slam.evaluator.save(args.save_rmse)
+        else:
+            # Stereo runs: the per-frame stereo-GT RMSE file
+            # (frame_evaluator.cc's results convention).
+            with open(args.save_rmse, "w") as f:
+                for r in stereo_rmses:
+                    f.write(f"{r}\n")
     if args.checkpoint_dir and slam.state is not None:
         from nrslam_tpu.utils import checkpoint
         checkpoint.save(args.checkpoint_dir, slam.state)

@@ -147,16 +147,27 @@ def main():
         "operating_point": {"max_points": P, "hw": [H, W], "new_kp": NK},
     }
     # Secondary series: the historic small point (only when the headline
-    # point was not overridden via env — one run, one problem, otherwise).
+    # point was not overridden via env). Run in a FRESH process: measuring
+    # it second in the same process under-reports by ~10% (measured 134.7
+    # in-process vs 147.6 standalone — leftover allocator/relay state from
+    # the big problem).
     if not any(k in os.environ for k in
                ("BENCH_POINTS", "BENCH_H", "BENCH_W", "BENCH_NEW_KP")):
-        fps_small, _ = measure(max_points=384, height=240, width=320,
-                               max_new_kp=128)
-        record["secondary"] = {
-            "small_point_fps": round(fps_small, 3),
-            "operating_point": {"max_points": 384, "hw": [240, 320],
-                                "new_kp": 128},
-        }
+        import subprocess
+        import sys
+        env = dict(os.environ, BENCH_POINTS="384", BENCH_H="240",
+                   BENCH_W="320", BENCH_NEW_KP="128")
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 capture_output=True, text=True, env=env,
+                                 timeout=1200)
+            small = json.loads(out.stdout.strip().splitlines()[-1])
+            record["secondary"] = {
+                "small_point_fps": small["value"],
+                "operating_point": small["operating_point"],
+            }
+        except Exception as e:  # secondary series is informational only
+            record["secondary"] = {"error": str(e)[:200]}
     print(json.dumps(record))
 
 

@@ -98,9 +98,18 @@ def render_frame(frame_idx, config: SceneConfig):
     the same convention as the simulation dataset's linearized depth
     (simulation.cc:117-137).
     """
+    return render_frame_at(camera_pose(frame_idx, config), frame_idx, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_frame_at(Tcw: se3.SE3, frame_time, config: SceneConfig):
+    """Render from an explicit camera pose (same scene clock ``frame_time``).
+
+    Enables stereo rendering: the right view is the left pose composed with
+    a baseline offset (see datasets/hamlyn_export.py)."""
     H, W = config.height, config.width
     cam = camera(config)
-    Tcw = camera_pose(frame_idx, config)
+    frame_idx = frame_time
     Twc = se3.inverse(Tcw)
 
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),

@@ -55,3 +55,25 @@ def ate_rmse(est_poses, gt_poses, with_scale: bool = True) -> float:
     aligned = (s * (R @ est.T)).T + t
     err = np.linalg.norm(aligned - gt, axis=-1)
     return float(np.sqrt(np.mean(err ** 2)))
+
+
+def rpe_trans_rmse(est_poses, gt_poses, delta: int = 5,
+                   with_scale: bool = True) -> float:
+    """Relative pose error (translation): RMSE of the error of delta-frame
+    relative displacements after one global Sim(3)/SE(3) alignment.
+
+    The drift-robust companion to ATE for long sequences: accumulated drift
+    (which any odometry without loop closure exhibits) inflates ATE
+    linearly with trajectory length, while RPE stays a per-step local
+    accuracy measure — the SLAM papers' standard pairing.
+    """
+    est = camera_centers(est_poses)
+    gt = camera_centers(gt_poses)
+    n = min(len(est), len(gt))
+    est, gt = est[:n], gt[:n]
+    s, R, t = umeyama(est, gt, with_scale)
+    aligned = (s * (R @ est.T)).T + t
+    d_est = aligned[delta:] - aligned[:-delta]
+    d_gt = gt[delta:] - gt[:-delta]
+    err = np.linalg.norm(d_est - d_gt, axis=-1)
+    return float(np.sqrt(np.mean(err ** 2)))

@@ -234,6 +234,41 @@ def reconstruct_points(cam, Tcw, ref_uv, cur_uv, inliers,
     return X, ok, low_parallax
 
 
+@partial(jax.jit, static_argnames=("cam_kind", "klt_config", "config"))
+def init_step(state: InitializerState, pyramid, mask, key, cam_params,
+              cam_kind, klt_config: klt.KLTConfig,
+              config: InitializerConfig):
+    """ONE fused init-phase frame: KLT tracking + reset decision + rigid
+    initialization attempt as a single jitted program.
+
+    Mirrors MonocularMapInitializer's per-frame flow
+    (monocular_map_initializer.cc:100-133): track against the reference;
+    if matches drop below min_matches or the window exceeds
+    max_frames_from_ref, re-seed the reference from this frame (no attempt);
+    otherwise attempt the essential-matrix initialization. The returned
+    ``result.success`` is an un-materialized device bool — the System holds
+    it (plus this frame's pyramid) and materializes a BATCH of flags every
+    ``init_check_every`` frames, so the init loop, previously 2-3 blocking
+    host round trips per frame on the remote-relay backend, makes none.
+    """
+    cam = cameras.Camera(cam_params, cam_kind)
+    state_t, n = track_frame(state, pyramid, klt_config, config)
+    reset_needed = ((n < config.min_matches)
+                    | (state_t.frames_from_ref > config.max_frames_from_ref))
+    # lax.cond (not a where-select): the reset branch re-runs Shi-Tomasi +
+    # set_reference over max_features, which must only execute on actual
+    # resets (measured: unconditional evaluation cost ~2x the whole init
+    # frame at F=4000).
+    state_new = jax.lax.cond(
+        reset_needed,
+        lambda: reset(pyramid, mask, state_t.next_track_id, klt_config,
+                      config),
+        lambda: state_t)
+    result = _try_initialize_impl(cam_params, cam_kind, state_t, config, key)
+    result = result._replace(success=result.success & ~reset_needed)
+    return state_new, result
+
+
 def try_initialize(cam, state: InitializerState, config: InitializerConfig,
                    key) -> InitializationResult:
     """Full rigid initialization attempt on the current track set.

@@ -184,7 +184,8 @@ class System:
                  init_config: Optional[init_mod.InitializerConfig] = None,
                  masker=None, apply_clahe: bool = False, seed: int = 4,
                  auto_reinitialize: bool = False,
-                 lost_check_every: int = 1):
+                 lost_check_every: int = 1,
+                 init_check_every: int = 1):
         self.cam = cam
         self.config = config
         self.init_config = init_config or init_mod.InitializerConfig(
@@ -205,6 +206,15 @@ class System:
         # (the reference checks its <10-points exit per frame on host,
         # tracking.cc:97-99, but its state already lives on host).
         self.lost_check_every = max(1, int(lost_check_every))
+        # Same deferral for the init phase: each init frame is ONE jitted
+        # program (init_mod.init_step) whose success flag is held
+        # un-materialized; flags batch-materialize every N frames. N > 1
+        # trades up to N-1 tracked frames at the init->tracking handoff for
+        # zero per-frame syncs (the successful frame's own pyramid/result
+        # seed the map, so the map itself is exact).
+        self.init_check_every = max(1, int(init_check_every))
+        self._init_ring = []
+        self._init_count = 0
         self._frame_count = 0
         self._key = jax.random.PRNGKey(seed)  # reference fixes srand(4)
         self.evaluator = evaluator_mod.FrameEvaluator()
@@ -323,24 +333,37 @@ class System:
         if self.init_state is None:
             self.init_state = init_mod.reset(pyramid, mask, jnp.int32(0),
                                              kcfg, cfg)
+            self._init_ring = []
+            self._init_count = 0
             return
 
-        self.init_state, n = init_mod.track_frame(self.init_state, pyramid,
-                                                  kcfg, cfg)
-        n = int(n)
-        if n < cfg.min_matches or int(self.init_state.frames_from_ref) > cfg.max_frames_from_ref:
-            self.init_state = init_mod.reset(
-                pyramid, mask, self.init_state.next_track_id, kcfg, cfg)
+        # One fused jitted program per init frame; no host materialization
+        # here (monocular_map_initializer.cc:100-133 — tracking, the
+        # min-matches/window reset decision and the rigid attempt).
+        # fold_in (not split): split chains a tiny device program per frame
+        # through the key, which serializes on the remote-relay backend.
+        sub = jax.random.fold_in(self._key, self._init_count)
+        self.init_state, result = init_mod.init_step(
+            self.init_state, pyramid, mask, sub, self.cam.params,
+            self.cam.kind, kcfg, cfg)
+        self._init_ring.append((result, pyramid))
+        self._init_count += 1
+        if self._init_count % self.init_check_every:
             return
 
-        self._key, sub = jax.random.split(self._key)
-        result = init_mod.try_initialize(self.cam, self.init_state, cfg, sub)
-        if bool(result.success):
-            state = state_mod.empty_state(self.config, self._image_shape)
-            self.state = bootstrap_map(state, result, pyramid, self.config)
-            self.status = TRACKING
-            self.init_state = None
-            self._frames_since_kf = 0
+        # Batched success check: ONE device fetch for the whole window.
+        flags = jax.device_get(
+            jnp.stack([r.success for r, _ in self._init_ring]))
+        ring = self._init_ring
+        self._init_ring = []
+        for ok, (result, pyr) in zip(flags, ring):
+            if ok:
+                state = state_mod.empty_state(self.config, self._image_shape)
+                self.state = bootstrap_map(state, result, pyr, self.config)
+                self.status = TRACKING
+                self.init_state = None
+                self._frames_since_kf = 0
+                return
 
     # -- introspection ------------------------------------------------------
 

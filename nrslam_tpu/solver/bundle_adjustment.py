@@ -168,6 +168,29 @@ def _block_preconditioner(H_pose, D, lam):
     return apply
 
 
+# Solver backend. Unlike the joint solver, "auto" keeps the XLA driver:
+# the whole-schedule Pallas kernel (bundle_adjustment_pallas.py) wins
+# STANDALONE (7.0 vs 12.2 ms at P=768/E=5376, 1.7x, r5 on-chip), but inside
+# the fused keyframe frame XLA fuses the BA einsums with the surrounding
+# mapping work and the opaque custom call forfeits that — measured
+# END-TO-END at the reference-scale bench point: 69.2 fps (ba=xla) vs
+# 63.6 fps (ba=pallas). Same methodology as the r4 KLT-kernel negative
+# result: the end-to-end number decides. set_backend("pallas") forces the
+# kernel (validated in tests/test_bundle_adjustment_pallas.py and
+# validate_pallas.py --what ba) for standalone/offline BA use.
+_BACKEND = "auto"
+
+
+def set_backend(mode: str) -> None:
+    global _BACKEND
+    assert mode in ("auto", "xla", "pallas")
+    _BACKEND = mode
+
+
+def _use_pallas() -> bool:
+    return _BACKEND == "pallas"
+
+
 def local_deformable_ba(cam: cameras.Camera, poses0: se3.SE3, L0: jnp.ndarray,
                         problem: BAProblem, n_iters: int = 5,
                         cg_iters: int = 32):
@@ -179,6 +202,14 @@ def local_deformable_ba(cam: cameras.Camera, poses0: se3.SE3, L0: jnp.ndarray,
 
     Returns (poses [K], landmarks [K, P, 3]).
     """
+    if _use_pallas():
+        from nrslam_tpu.solver import bundle_adjustment_pallas as bap
+        # Whole-schedule single-launch kernel (forced backend only — see
+        # the _BACKEND note above); picks VMEM-resident vs HBM-streaming
+        # internally. Parity: tests/test_bundle_adjustment_pallas.py (max
+        # |dL| ~1e-5 over the full 5x32 schedule in f32).
+        return bap.local_deformable_ba_pallas(cam, poses0, L0, problem,
+                                              n_iters, cg_iters)
     K, P, _ = L0.shape
     sigma_s = 0.1 * problem.scale
     info_s = 1.0 / (sigma_s * sigma_s)

@@ -525,54 +525,50 @@ def _ba_kernel(par_ref, L_ref, obsm_ref, pair_ref, emask_ref, Sd_ref,
         out_L_ref[8 * k:8 * k + 8, :] = L_f[k]
 
 
-def fits_vmem(P: int, E_raw: int, budget_bytes: int = 9 * 2 ** 20,
-              already_compact: bool = False) -> bool:
+def fits_vmem(P: int, E_raw: int, budget_bytes: int = 9 * 2 ** 20) -> bool:
     """Whether the RESIDENT BA kernel's selector fits VMEM (slightly lower
     threshold than the joint kernel: the per-KF linearization state is K
-    times larger)."""
-    from nrslam_tpu.solver.pose_deformation_pallas import _edge_budget
+    times larger). ``E_raw`` is the table actually passed — the wrapper
+    never re-truncates (compaction policy lives in compact_pairs
+    upstream)."""
     Pp = ((P + 127) // 128) * 128
-    E = _edge_budget(P, E_raw, already_compact)
+    E = ((E_raw + 127) // 128) * 128
     return E * Pp * 2 <= budget_bytes
 
 
 def local_deformable_ba_pallas(cam, poses0, L0, problem, n_iters: int = 5,
                                cg_iters: int = 32, interpret: bool = False,
-                               already_compact: bool = False,
                                stream: bool | None = None):
     """Drop-in core for bundle_adjustment.local_deformable_ba.
 
-    Returns (poses [K], landmarks [K, P, 3]); unobserved landmark copies
-    keep their input values exactly (they participate in no factor).
+    The edge table is consumed AS GIVEN (padded to whole blocks, never
+    re-truncated). Returns (poses [K], landmarks [K, P, 3]); unobserved
+    landmark copies keep their input values exactly (they participate in no
+    factor).
     """
     from nrslam_tpu.geometry import se3 as se3_mod
-    from nrslam_tpu.solver.pose_deformation_pallas import _edge_budget
 
     K, P, _ = L0.shape
     Pp = ((P + 127) // 128) * 128
     pairs = problem.pairs
     E_raw = pairs.i.shape[0]
-    budget = _edge_budget(P, E_raw, already_compact)
     if stream is None:
-        stream = not fits_vmem(P, E_raw, already_compact=already_compact)
+        stream = not fits_vmem(P, E_raw)
+    budget = ((E_raw + 127) // 128) * 128
     be = min(STREAM_BLOCK if stream else 2 * STREAM_BLOCK, budget)
     E_pad = ((budget + be - 1) // be) * be
     n_blocks = E_pad // be
 
-    k_sel = min(E_raw, budget)
-    score = jnp.where(pairs.valid, pairs.w, -jnp.inf)
-    _, esel = jax.lax.top_k(score, k_sel)
-
     def _pad(x, fill):
-        if k_sel < E_pad:
-            pad = jnp.full((E_pad - k_sel,), fill, x.dtype)
+        if E_raw < E_pad:
+            pad = jnp.full((E_pad - E_raw,), fill, x.dtype)
             return jnp.concatenate([x, pad])
         return x
 
     pairs = pairs._replace(
-        i=_pad(pairs.i[esel], 0), j=_pad(pairs.j[esel], 0),
-        w=_pad(pairs.w[esel], 0.0), d0=_pad(pairs.d0[esel], 1.0),
-        valid=_pad(pairs.valid[esel], False))
+        i=_pad(pairs.i, 0), j=_pad(pairs.j, 0),
+        w=_pad(pairs.w, 0.0), d0=_pad(pairs.d0, 1.0),
+        valid=_pad(pairs.valid, False))
     E = E_pad
 
     # Factor masks at the compacted table (bundle_adjustment._masks).

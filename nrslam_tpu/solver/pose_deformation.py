@@ -375,7 +375,7 @@ def pose_deformation_optimization(
         # forced-backend fallback.
         T, flows, chi2_r = pdp.pose_deformation_optimization_pallas(
             cam, Tcw0, rest, obs, point_valid, pairs, scale, rounds,
-            cg_iters, already_compact=True)
+            cg_iters)
         reproj_inlier, deform_ok, median_def = _post_gates(
             flows, chi2_r, point_valid)
         return PoseDeformationResult(T, flows, reproj_inlier, deform_ok,

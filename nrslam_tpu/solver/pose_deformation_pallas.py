@@ -543,44 +543,33 @@ def _joint_kernel(par_ref, rest_ref, obs_ref, pmask_ref, pair_ref, Sd_ref,
     out_arr_ref[...] = out
 
 
-def _edge_budget(P: int, E_raw: int, already_compact: bool = False) -> int:
-    """Lane-aligned edge budget.
-
-    ``already_compact`` (the production path: pose_deformation_optimization
-    compacts the table before dispatching here) keeps the table's own
-    length — re-deriving K from a compacted table would under-estimate it
-    and truncate live edges. For raw directed tables the budget is
-    pose_deformation.edge_budget's ceil(K/2)*P + P."""
-    if already_compact:
-        return ((E_raw + 127) // 128) * 128
-    from nrslam_tpu.solver.pose_deformation import edge_budget
-    cap = edge_budget(P, E_raw)
-    return min(((E_raw + 127) // 128) * 128, ((cap + 127) // 128) * 128)
-
-
-def fits_vmem(P: int, E_raw: int, budget_bytes: int = 10 * 2 ** 20,
-              already_compact: bool = False) -> bool:
+def fits_vmem(P: int, E_raw: int, budget_bytes: int = 10 * 2 ** 20) -> bool:
     """Whether the RESIDENT kernel's selector fits VMEM.
 
-    The dominant VMEM resident is the single [E, Pp] bf16 difference
-    selector (the endpoint-sum selector is derived per block as |Sd| on the
-    VPU); everything else (the [8, E] edge-state scratches, per-block
-    temporaries, [8, Pp] lane arrays) is ~2-3 MB. 10 MB leaves headroom for
-    those under the 16 MB scoped limit (measured: P=768 = 7.1 MB selector
-    compiles at ~10 MB total). Above the ceiling the STREAMING kernel (int8
-    selector in HBM, double-buffered DMA) takes over — same schedule, no
-    size limit."""
+    ``E_raw`` is the edge table actually passed to the kernel — the wrapper
+    never re-truncates it (edge compaction is the caller's policy, applied
+    once in pose_deformation.compact_pairs; a second wrapper-level top-k
+    could silently drop live edges and break XLA parity). The dominant VMEM
+    resident is the single [E, Pp] bf16 difference selector (the
+    endpoint-sum selector is derived per block as |Sd| on the VPU);
+    everything else (the [8, E] edge-state scratches, per-block temporaries,
+    [8, Pp] lane arrays) is ~2-3 MB. 10 MB leaves headroom for those under
+    the 16 MB scoped limit (measured: P=768 = 7.1 MB selector compiles at
+    ~10 MB total). Above the ceiling the STREAMING kernel (int8 selector in
+    HBM, double-buffered DMA) takes over — same schedule, no size limit."""
     Pp = ((P + 127) // 128) * 128
-    E = _edge_budget(P, E_raw, already_compact)
+    E = ((E_raw + 127) // 128) * 128
     return E * Pp * 2 <= budget_bytes
 
 
 def pose_deformation_optimization_pallas(
         cam, Tcw0, rest, obs, point_valid, pairs, scale,
         rounds=(10, 10), cg_iters: int = 10, interpret: bool = False,
-        already_compact: bool = False, stream: bool | None = None):
+        stream: bool | None = None):
     """Drop-in core for pose_deformation.pose_deformation_optimization.
 
+    The edge table is consumed AS GIVEN (padded to whole blocks, never
+    re-truncated — compaction policy lives in compact_pairs upstream).
     ``stream=None`` picks resident vs HBM-streaming automatically by the
     VMEM fit. Returns (Tcw, flows [P, 3], chi2_r [P]) — the wrapper in
     pose_deformation.py applies the IQR/median post-gating.
@@ -590,41 +579,29 @@ def pose_deformation_optimization_pallas(
     P = rest.shape[0]
     Pp = ((P + 127) // 128) * 128
 
-    # Compact the edge table to the highest-weight valid edges. After the
-    # unordered-pair dedup the live edge count is ~P*K/2, so the
-    # ceil(K/2)*P + P budget has headroom; if it ever overflows, the
-    # lowest-RBF-weight edges are dropped — the same weight-ordered
-    # truncation policy the reference applies in RegularizationGraph::
-    # GetEdges (regularization_graph.cc:61-87).
-    pair_base_full = pairs.valid & point_valid[pairs.i] & point_valid[pairs.j]
     E_raw = pairs.i.shape[0]
-    budget = _edge_budget(P, E_raw, already_compact)
     if stream is None:
-        stream = not fits_vmem(P, E_raw, already_compact=already_compact)
+        stream = not fits_vmem(P, E_raw)
 
     # Pad the edge table to a whole number of blocks (streaming: DMA block;
     # resident: in-VMEM read block bounding the per-block temporaries).
+    budget = ((E_raw + 127) // 128) * 128
     be = min(STREAM_BLOCK if stream else 2 * STREAM_BLOCK, budget)
     E_pad = ((budget + be - 1) // be) * be
     n_blocks = E_pad // be
 
-    # top_k's k may not exceed the table length (small maps / small K can
-    # leave E_raw below the lane-aligned budget); select min(E_raw, budget)
-    # edges and pad the rest with invalid entries.
-    k_sel = min(E_raw, budget)
-    score = jnp.where(pair_base_full, pairs.w, -jnp.inf)
-    _, esel = jax.lax.top_k(score, k_sel)
+    pair_base_full = pairs.valid & point_valid[pairs.i] & point_valid[pairs.j]
 
     def _pad(x, fill):
-        if k_sel < E_pad:
-            pad = jnp.full((E_pad - k_sel,), fill, x.dtype)
+        if E_raw < E_pad:
+            pad = jnp.full((E_pad - E_raw,), fill, x.dtype)
             return jnp.concatenate([x, pad])
         return x
 
     pairs = pairs._replace(
-        i=_pad(pairs.i[esel], 0), j=_pad(pairs.j[esel], 0),
-        w=_pad(pairs.w[esel], 0.0), d0=_pad(pairs.d0[esel], 1.0),
-        valid=_pad(pair_base_full[esel], False))
+        i=_pad(pairs.i, 0), j=_pad(pairs.j, 0),
+        w=_pad(pairs.w, 0.0), d0=_pad(pairs.d0, 1.0),
+        valid=_pad(pair_base_full, False))
     E = E_pad
 
     sigma_s = 0.1 * scale

@@ -58,8 +58,9 @@ def test_rigid_sequence_tracks_and_reconstructs():
     assert len(est) >= 10
     ate = metrics.ate_rmse(est, gt, with_scale=True)
     # GT translation magnitude over the clip is ~0.3 units; r4-measured ATE
-    # 0.0006 — gate at 0.005 (was 0.03, which a 10x regression would pass).
-    assert ate < 0.005, ate
+    # 0.0006 — gate at ~3x measured (r5; the old 0.005 would have let a 5x
+    # trajectory regression through).
+    assert ate < 0.002, ate
 
 
 @pytest.mark.slow
@@ -74,3 +75,17 @@ def test_deforming_sequence_tracks():
     # the init timing and depth observability run-sensitive); gate ~1.25x
     # above measured (was 0.25).
     assert np.median(rmses) < 0.20, rmses
+
+    # Deforming-run trajectory gate (r5: previously only the rigid run had
+    # an ATE tripwire). Monocular Sim3-aligned; measured 0.024 over a
+    # 0.256-unit sweep (r5) — ~40x the rigid run's 0.0006, because camera
+    # motion at deformation timescales is partially absorbed as map
+    # deformation (a genuine gauge ambiguity of deformable SLAM; the
+    # reference's own evaluator measures only depth RMSE for this reason,
+    # frame_evaluator.cc). Gate ~3x measured: a real trajectory regression
+    # trips, the gauge-level error does not.
+    from nrslam_tpu.eval import metrics
+    est = [r["est_pose"] for r in results if "est_pose" in r]
+    gt = [r["gt_pose"] for r in results if "est_pose" in r]
+    ate = metrics.ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.07, ate

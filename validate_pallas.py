@@ -207,7 +207,7 @@ def check_scale(P=768):
 
     pairs_c = pd.compact_pairs(pairs, P, valid)
     E = pairs_c.i.shape[0]
-    fits = pdp.fits_vmem(P, E, already_compact=True)
+    fits = pdp.fits_vmem(P, E)
 
     def run_x():
         return pd.pose_deformation_optimization(
@@ -230,8 +230,7 @@ def check_scale(P=768):
     for name, stream in modes:
         def run_k(stream=stream):
             return pdp.pose_deformation_optimization_pallas(
-                cam, T_seed, X, obs, valid, pairs_c, 1.0,
-                already_compact=True, stream=stream)
+                cam, T_seed, X, obs, valid, pairs_c, 1.0, stream=stream)
 
         fk = jax.jit(run_k)
         T_k, flows_k, chi2_k = fk()
@@ -252,16 +251,101 @@ def check_scale(P=768):
     return ok, times
 
 
+def check_ba(P=768, K=5):
+    """Keyframe-window BA: XLA driver vs the whole-schedule Pallas kernel at
+    the reference-scale point (VERDICT r4 #5: BA was the second-largest
+    per-frame cost, 9.2 ms at P=768)."""
+    from nrslam_tpu.geometry import cameras, se3
+    from nrslam_tpu.solver import bundle_adjustment as ba
+    from nrslam_tpu.solver import bundle_adjustment_pallas as bap
+    from nrslam_tpu.solver import pose_deformation as pd
+
+    cam, X, obs0, valid, pairs, _ = _solver_problem(P=P)
+    pairs = pd.compact_pairs(pairs, P, valid)
+    key = jax.random.PRNGKey(3)
+    poses, L, obs = [], [], []
+    for k in range(K):
+        tw = jnp.array([0.01 * k, -0.005 * k, 0.008 * k, 0.05 * k, 0.0,
+                        0.02 * k])
+        T = se3.exp(tw)
+        d = 0.02 * jnp.stack([jnp.sin(X[:, 0] * 2 + k),
+                              jnp.cos(X[:, 1] + 0.5 * k),
+                              jnp.sin(X[:, 0] + X[:, 1] + k)], -1)
+        Lk = X + d
+        poses.append(T)
+        L.append(Lk)
+        obs.append(cameras.project(cam, se3.apply(T, Lk)))
+    poses_true = se3.stack(poses)
+    L_true = jnp.stack(L)
+    obs = jnp.stack(obs)
+    problem = ba.BAProblem(obs=obs,
+                           obs_valid=jnp.tile(valid[None], (K, 1)),
+                           kf_valid=jnp.ones(K, bool), pairs=pairs,
+                           scale=jnp.float32(1.0))
+    poses0 = se3.SE3(poses_true.q, poses_true.t
+                     + 0.01 * jax.random.normal(key, poses_true.t.shape))
+    L0 = L_true + 0.02 * jax.random.normal(jax.random.fold_in(key, 1),
+                                           L_true.shape)
+
+    def run_x():
+        return ba.local_deformable_ba(cam, poses0, L0, problem)
+
+    ba.set_backend("xla")
+    fx = jax.jit(run_x)
+    p_x, L_x = fx()
+    ms_x = _timeit(fx, n=10)
+    ba.set_backend("auto")
+
+    E = pairs.i.shape[0]
+    fits = bap.fits_vmem(P, E)
+    ok = True
+    times = {"xla_ms": ms_x}
+
+    def reproj_rmse(poses, Lw):
+        pred = cameras.project(cam, se3.apply(
+            jax.tree.map(lambda x: x[:, None], poses), Lw))
+        d2 = jnp.sum((pred - obs) ** 2, -1)
+        m = problem.obs_valid
+        return float(jnp.sqrt(jnp.sum(jnp.where(m, d2, 0.0))
+                              / jnp.sum(m.astype(jnp.float32))))
+
+    rmse_x = reproj_rmse(p_x, L_x)
+    modes = ([("resident", False)] if fits else []) + [("stream", True)]
+    for name, stream in modes:
+        def run_k(stream=stream):
+            return bap.local_deformable_ba_pallas(cam, poses0, L0, problem,
+                                                  stream=stream)
+
+        fk = jax.jit(run_k)
+        p_p, L_p = fk()
+        ms_k = _timeit(fk, n=10)
+        times[f"{name}_ms"] = ms_k
+        rmse_p = reproj_rmse(p_p, L_p)
+        m = np.asarray(problem.obs_valid)
+        dL = np.linalg.norm(np.asarray(L_x - L_p), axis=-1)[m]
+        print(f"ba P={P} E={E} K={K}: xla {ms_x:.2f} ms  {name} {ms_k:.2f} "
+              f"ms ({ms_x / ms_k:.2f}x)  reproj rmse xla {rmse_x:.4f} "
+              f"pallas {rmse_p:.4f}  med |dL| {np.median(dL):.2e}",
+              flush=True)
+        # Both paths must converge equally well; the solutions themselves
+        # may differ along the window's unfixed gauge (like the reference,
+        # no gauge prior), so compare convergence quality, not positions.
+        ok &= rmse_p < max(1.5 * rmse_x, 0.5)
+    return ok, times
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="all",
-                    choices=["all", "pose", "joint", "scale768", "scale1024"])
+                    choices=["all", "pose", "joint", "scale768", "scale1024",
+                             "ba"])
     args = ap.parse_args()
 
     print("backend:", jax.default_backend(), jax.devices()[:1], flush=True)
     checks = {"pose": check_pose, "joint": check_joint,
               "scale768": lambda: check_scale(768),
-              "scale1024": lambda: check_scale(1024)}
+              "scale1024": lambda: check_scale(1024),
+              "ba": check_ba}
     names = list(checks) if args.what == "all" else [args.what]
 
     all_ok = True
