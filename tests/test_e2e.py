@@ -15,7 +15,7 @@ from nrslam_tpu.slam import system as system_mod
 from nrslam_tpu.slam.state import Config
 
 
-def run_sequence(deform_amp, n_frames=24, max_points=256):
+def run_sequence(deform_amp, n_frames=24, max_points=256, **system_kwargs):
     scene = synthetic.SceneConfig(deform_amp=deform_amp)
     seq = synthetic.SyntheticSequence(scene, n_frames=n_frames)
     cam = synthetic.camera(scene)
@@ -24,7 +24,7 @@ def run_sequence(deform_amp, n_frames=24, max_points=256):
     init_config = system_mod.init_mod.InitializerConfig(
         max_features=384, min_matches=60, min_triangulated=50,
         rad_per_pixel=1.0 / scene.fx, n_hypotheses=48)
-    sys = system_mod.System(cam, config, init_config)
+    sys = system_mod.System(cam, config, init_config, **system_kwargs)
 
     results = []
     for i in range(n_frames):
@@ -61,6 +61,24 @@ def test_rigid_sequence_tracks_and_reconstructs():
     # 0.0006 — gate at ~3x measured (r5; the old 0.005 would have let a 5x
     # trajectory regression through).
     assert ate < 0.002, ate
+
+
+@pytest.mark.slow
+def test_deferred_init_check_matches_per_frame_check():
+    """init_check_every > 1 (the CLI's relay-throughput default, r5): the
+    deferred handoff bootstraps from the success frame's OWN pyramid and
+    result, so the map is the per-frame-check map exactly — only the
+    handoff frame index may shift by up to N-1 skipped frames."""
+    sys1, res1 = run_sequence(deform_amp=0.0)
+    sys4, res4 = run_sequence(deform_amp=0.0, init_check_every=4)
+    assert sys1.status == system_mod.TRACKING
+    assert sys4.status == system_mod.TRACKING
+    r1 = [float(r["depth_rmse"]) for r in res1 if "depth_rmse" in r]
+    r4 = [float(r["depth_rmse"]) for r in res4 if "depth_rmse" in r]
+    # At most N-1 fewer tracked frames; same map quality.
+    assert len(r1) - len(r4) <= 3, (len(r1), len(r4))
+    assert abs(np.median(r1) - np.median(r4)) < 0.02, (np.median(r1),
+                                                       np.median(r4))
 
 
 @pytest.mark.slow
