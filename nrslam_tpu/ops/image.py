@@ -230,11 +230,16 @@ def erode(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
 
 
 def dilate(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    # Separable: two 1D max passes instead of one ksize^2 window (XLA does
+    # not factor reduce_window itself; at the 31x31 occupied-suppression
+    # window this is ~15x less work).
     pad = ksize // 2
     x = jnp.pad(mask.astype(jnp.float32),
                 ((pad, ksize - 1 - pad), (pad, ksize - 1 - pad)))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (ksize, 1), (1, 1), "VALID")
     out = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (ksize, ksize), (1, 1), "VALID")
+        x, -jnp.inf, jax.lax.max, (1, ksize), (1, 1), "VALID")
     return out > 0.5
 
 
