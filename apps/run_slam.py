@@ -50,6 +50,11 @@ def main():
                     choices=["auto", "xla", "pallas"],
                     help="solver kernel selection (auto = Pallas on real "
                          "TPU backends; xla = force the XLA drivers)")
+    ap.add_argument("--auto_reinit", action="store_true",
+                    help="re-initialize a fresh map after tracking collapse "
+                         "instead of stopping (the reference exit(0)s, "
+                         "tracking.cc:97-99; recovery policy per SURVEY.md "
+                         "§5)")
     ap.add_argument("--init_check_every", type=int, default=4,
                     help="batch-materialize the initializer success flags "
                          "every N frames (1 = reference-exact handoff; "
@@ -111,7 +116,8 @@ def main():
             config = config._replace(max_points=args.max_points)
         slam = system_mod.System(
             cam, config, lost_check_every=args.lost_check_every,
-            init_check_every=args.init_check_every)
+            init_check_every=args.init_check_every,
+            auto_reinitialize=args.auto_reinit)
 
         def frames():
             for i in range(args.starting_frame, args.end_frame):
@@ -125,7 +131,8 @@ def main():
                   if args.max_points else settings.slam_config())
         slam = system_mod.System(cam, config, masker=settings.masker,
                                   lost_check_every=args.lost_check_every,
-                                  init_check_every=args.init_check_every)
+                                  init_check_every=args.init_check_every,
+                                  auto_reinitialize=args.auto_reinit)
 
         if args.dataset == "simulation":
             from nrslam_tpu.datasets.loaders import Simulation
