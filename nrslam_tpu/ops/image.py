@@ -97,20 +97,6 @@ def clahe(image: jnp.ndarray, clip_limit: float = 3.0, grid: int = 8,
 _PYRDOWN_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
 
 
-def _conv_sep(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndarray:
-    """Separable cross-correlation via lax.conv (XLA fuses this well on TPU)."""
-    x = img[None, None, :, :]
-    wy = ky.reshape(1, 1, -1, 1)
-    wx = kx.reshape(1, 1, 1, -1)
-    ry = (ky.shape[0] - 1) // 2
-    rx = (kx.shape[0] - 1) // 2
-    x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, wy, (1, 1), "VALID")
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (rx, rx)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, wx, (1, 1), "VALID")
-    return x[0, 0]
-
-
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """Gaussian blur ([1,4,6,4,1]/16 separable) then 2x decimation (cv::pyrDown).
 
@@ -221,11 +207,15 @@ def erode(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
     (/root/reference/modules/masking/*.cc). ``mask`` is bool [H, W].
     Out-of-image neighborhood counts as False (so borders erode inward).
     """
+    # Separable: two 1D min passes (XLA does not factor reduce_window; the
+    # masker's 21x21 erosion runs per frame on masked configurations).
     pad = ksize // 2
     x = jnp.pad(mask.astype(jnp.float32),
                 ((pad, ksize - 1 - pad), (pad, ksize - 1 - pad)))
+    x = jax.lax.reduce_window(
+        x, jnp.inf, jax.lax.min, (ksize, 1), (1, 1), "VALID")
     out = jax.lax.reduce_window(
-        x, jnp.inf, jax.lax.min, (ksize, ksize), (1, 1), "VALID")
+        x, jnp.inf, jax.lax.min, (1, ksize), (1, 1), "VALID")
     return out > 0.5
 
 
@@ -244,11 +234,19 @@ def dilate(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:
-    """Separable Gaussian blur (cv::GaussianBlur semantics for sigma=0)."""
+    """Separable Gaussian blur (cv::GaussianBlur semantics for sigma=0).
+
+    Shifted-slice taps instead of lax.conv: single-channel convs cannot
+    tile the TPU MXU (see shi_tomasi._tap3); the BrightFilter masker runs
+    this per frame."""
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     r = ksize // 2
     xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
     k = jnp.exp(-(xs * xs) / (2 * sigma * sigma))
     k = k / jnp.sum(k)
-    return _conv_sep(img, k, k)
+
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = sum(k[i] * x[i:i + img.shape[0], :] for i in range(ksize))
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    return sum(k[i] * x[:, i:i + img.shape[1]] for i in range(ksize))
