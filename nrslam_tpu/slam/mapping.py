@@ -247,7 +247,8 @@ def keyframe_mapping(state: SlamState, cam, config: Config) -> SlamState:
 
     problem = ba.BAProblem(obs=obs, obs_valid=obs_valid, kf_valid=win_valid,
                            pairs=pairs, scale=state.scale)
-    poses1, L1 = ba.local_deformable_ba(cam, poses0, L0, problem)
+    poses1, L1 = ba.local_deformable_ba(cam, poses0, L0, problem,
+                                        cg_iters=config.ba_cg_iters)
 
     # The reference requires >= 3 KFs in the window (g2o_optimization.cc:922).
     run = n_win >= 3

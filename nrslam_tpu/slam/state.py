@@ -61,6 +61,13 @@ class Config(NamedTuple):
     tri_max_neighbors_px: float = 500.0
     tri_num_neighbors: int = 11    # "> 10" => 11
     max_triangulation_candidates: int = 128
+    # Inner PCG depth of the keyframe-BA window solve. The reference's g2o
+    # solves its normal equations exactly per LM step; with our block-Jacobi
+    # PCG the window quality is LM-outer-loop limited, not CG-limited:
+    # measured reproj RMSE is flat from ~12 trips (0.0622 @ 12 vs 0.0627 @
+    # 32 on a K=5/P=768 noisy window; identical to 6 digits on a 70%-masked
+    # one). 16 keeps margin and halves the dominant kf-frame BA cost.
+    ba_cg_iters: int = 16
 
     @property
     def klt_config(self) -> klt.KLTConfig:

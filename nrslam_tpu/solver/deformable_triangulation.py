@@ -208,11 +208,17 @@ def _batched_pcg(B, diag_L, Wsym, lam, b, n_iters: int):
 def deformable_triangulate(cam: cameras.Camera, inputs: TriangulationInputs,
                            Tcw: se3.SE3, rad_per_pixel: float,
                            min_track: int = 5, n_iters: int = 10,
-                           cg_iters: int = 30):
+                           cg_iters: int = 12):
     """Run the full batched deformable triangulation.
 
     Args:
       Tcw: [T] buffer-frame camera poses.
+      cg_iters: inner PCG trips per LM step. The per-candidate system is
+        only [T, 3] variables with a block-Jacobi preconditioner; measured
+        landmark error is identical to 5 digits from 8 trips (rigid and
+        deforming fixtures alike), so 12 keeps margin at ~40% of the old
+        30-trip cost. The solve runs on every non-keyframe frame, so this
+        is steady-state frame time.
     Returns (landmarks_world [C, 3], ok [C]).
     """
     C, T, _ = inputs.obs.shape
